@@ -1,0 +1,124 @@
+"""AT&T-format text FSM / symbol-table IO.
+
+Format per the reference writers (`/root/reference/src/WFSTGeneral.h:36-61`):
+  arc line:   "from to in out [weight]"
+  final line: "state [weight]"
+  symbols:    "%-25s %d" per line
+The initial state is the source state of the first arc line
+(`/root/reference/src/WFSTNetwork.cpp:453`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, TextIO, Union
+
+from .fst import Fst, SymbolTable
+from .semiring import LOG, Semiring
+
+
+def read_fsm(
+    path_or_file: Union[str, TextIO],
+    semiring: Semiring = LOG,
+    isyms: Optional[SymbolTable] = None,
+    osyms: Optional[SymbolTable] = None,
+) -> Fst:
+    close = False
+    if isinstance(path_or_file, str):
+        fd = open(path_or_file, "r")
+        close = True
+    else:
+        fd = path_or_file
+    try:
+        f = Fst(semiring)
+        f.isyms, f.osyms = isyms, osyms
+        for line in fd:
+            parts = line.split()
+            if not parts:
+                continue
+            try:
+                if len(parts) >= 4:
+                    src, dst, il, ol = (int(x) for x in parts[:4])
+                    w = float(parts[4]) if len(parts) >= 5 else 0.0
+                    if f.start < 0:
+                        f.set_start(src)
+                    f.add_arc(src, dst, il, ol, w)
+                elif len(parts) == 1:
+                    f.set_final(int(parts[0]), 0.0)
+                else:
+                    f.set_final(int(parts[0]), float(parts[1]))
+            except ValueError:
+                continue  # invalid line: skip, like the reference loader
+        return f
+    finally:
+        if close:
+            fd.close()
+
+
+def write_fsm(f: Fst, path_or_file: Union[str, TextIO]) -> None:
+    close = False
+    if isinstance(path_or_file, str):
+        fd = open(path_or_file, "w")
+        close = True
+    else:
+        fd = path_or_file
+    try:
+        n = f.num_arcs
+        # Arc lines: the start state's arcs must come first so the loader
+        # identifies the initial state correctly.
+        order = list(range(n))
+        if f.start >= 0:
+            order.sort(key=lambda i: (f.arc_src[i] != f.start,))
+        for i in order:
+            w = f.arc_weight[i]
+            if w == 0.0:
+                fd.write(f"{f.arc_src[i]} {f.arc_dst[i]} {f.arc_ilabel[i]} {f.arc_olabel[i]}\n")
+            else:
+                fd.write(
+                    f"{f.arc_src[i]} {f.arc_dst[i]} {f.arc_ilabel[i]} "
+                    f"{f.arc_olabel[i]} {w:.3f}\n"
+                )
+        for s in sorted(f.finals):
+            w = f.finals[s]
+            if w == 0.0:
+                fd.write(f"{s}\n")
+            else:
+                fd.write(f"{s} {w:f}\n")
+    finally:
+        if close:
+            fd.close()
+
+
+def read_symbols(path_or_file: Union[str, TextIO]) -> SymbolTable:
+    close = False
+    if isinstance(path_or_file, str):
+        fd = open(path_or_file, "r")
+        close = True
+    else:
+        fd = path_or_file
+    try:
+        t = SymbolTable()
+        for line in fd:
+            parts = line.split()
+            if len(parts) != 2:
+                continue
+            t.add_with_index(parts[0], int(parts[1]))
+        return t
+    finally:
+        if close:
+            fd.close()
+
+
+def write_symbols(t: SymbolTable, path_or_file: Union[str, TextIO]) -> None:
+    close = False
+    if isinstance(path_or_file, str):
+        fd = open(path_or_file, "w")
+        close = True
+    else:
+        fd = path_or_file
+    try:
+        for i, s in enumerate(t):
+            if s is not None:
+                fd.write(f"{s:<25} {i}\n")
+    finally:
+        if close:
+            fd.close()
