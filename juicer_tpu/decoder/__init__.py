@@ -1,0 +1,7 @@
+"""Decoder cores: runtime network, numpy oracle, and the TPU engine."""
+
+from .network import DecoderNetwork
+from .ref_core import RefDecoder, DecodeResult
+from .tpu_core import TpuDecoder
+
+__all__ = ["DecoderNetwork", "RefDecoder", "DecodeResult", "TpuDecoder"]

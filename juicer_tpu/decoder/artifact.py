@@ -1,0 +1,218 @@
+"""Compiled TPU decoding artifact.
+
+Transforms a `DecoderNetwork` + `AcousticModelSet` into the flat tensors the
+TPU engine consumes (SURVEY.md §7 design translation):
+
+  - the HMM-arc subset (arcs with non-eps input labels) becomes the "inst"
+    key space: `hmm_arc_*` arrays (hmm index, dst state, weight, olabel);
+  - the recursive eps/tee traversal of `WFSTDecoderLite::propagateToken`
+    (`/root/reference/src/WFSTDecoderLite.cpp:491-605`) is *precomputed*
+    into per-arc expansion tables: for every HMM arc A, all HMM arcs B
+    reachable from A's destination via eps arcs and tee (entry->exit) HMM
+    hops, with accumulated (total, lm, acoustic) weight deltas and the
+    sequence of output labels crossed (A's own olabel included);
+  - final-state reachability along the same traversal becomes per-arc
+    "final entry" tables (the bestFinalToken updates);
+  - the initial propagation (`recognitionStart` ->
+    propagateToken(empty, NULL)) becomes entry/final tables for a virtual
+    "start" source.
+
+Output-label sequences are interned in a side table (`seqs`); most entries
+have 0 or 1 labels.
+
+Caveat: mid-traversal beam tests (`currEndPruneThresh` per eps hop) cannot
+be applied inside a precomputed closure; entries that the reference would
+have pruned *mid-path* survive here until the entry merge. This only
+changes results when such a path would also win the merge — impossible
+unless the pruning windows are tighter than the path's weight drop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..am.models import AcousticModelSet
+from .network import DecoderNetwork
+
+LOG_ZERO = -1e30
+
+
+@dataclass
+class Expansion:
+    """CSR expansion tables keyed by source (n_hmm_arcs + 1 virtual start)."""
+
+    row_ptr: np.ndarray  # (n_src+1,) int64
+    arc: np.ndarray  # (n_entries,) int32: target hmm-arc index
+    w_score: np.ndarray  # (n_entries,) f64: score delta (lm + acoustic)
+    w_lm: np.ndarray  # (n_entries,) f64
+    w_ac: np.ndarray  # (n_entries,) f64
+    seq: np.ndarray  # (n_entries,) int32: label-sequence id
+
+    frow_ptr: np.ndarray  # (n_src+1,) int64: final-entry CSR
+    f_score: np.ndarray  # score delta incl. final weight
+    f_lm: np.ndarray
+    f_ac: np.ndarray
+    f_seq: np.ndarray
+
+
+class DecoderArtifact:
+    def __init__(
+        self,
+        network: DecoderNetwork,
+        models: AcousticModelSet,
+        max_closure_entries_per_state: int = 100000,
+    ):
+        self.net = network
+        self.models = models
+
+        net = network
+        # ---- HMM-arc subset ------------------------------------------------
+        hmm_mask = net.arc_ilabel > 0
+        self.hmm_arc_ids = np.nonzero(hmm_mask)[0].astype(np.int64)
+        self.n_hmm_arcs = len(self.hmm_arc_ids)
+        # map global arc id -> hmm-arc index
+        self._global_to_hmm = np.full(net.n_arcs, -1, dtype=np.int64)
+        self._global_to_hmm[self.hmm_arc_ids] = np.arange(self.n_hmm_arcs)
+        self.arc_hmm = (net.arc_ilabel[self.hmm_arc_ids] - 1).astype(np.int32)
+        self.arc_weight = net.arc_weight[self.hmm_arc_ids].astype(np.float64)
+        self.arc_olabel = net.arc_olabel[self.hmm_arc_ids].astype(np.int32)
+        self.arc_dst = net.arc_dst[self.hmm_arc_ids].astype(np.int32)
+
+        # ---- topology ------------------------------------------------------
+        (self.trP, self.state_gmm, self.hmm_n_states, self.tee) = models.packed_topology()
+        self.S = self.trP.shape[1]
+
+        # ---- label-sequence interning -------------------------------------
+        self._seq_index: dict[tuple[int, ...], int] = {(): 0}
+        self.seqs: list[tuple[int, ...]] = [()]
+
+        # ---- eps/tee closure per state ------------------------------------
+        self._state_entries: dict[int, list] = {}
+        self._state_finals: dict[int, list] = {}
+        self._max_entries = max_closure_entries_per_state
+        self.expansion = self._build_expansion()
+
+    # -- label sequences ----------------------------------------------------
+
+    def intern_seq(self, seq: tuple[int, ...]) -> int:
+        i = self._seq_index.get(seq)
+        if i is None:
+            i = len(self.seqs)
+            self._seq_index[seq] = i
+            self.seqs.append(seq)
+        return i
+
+    # -- closure ------------------------------------------------------------
+
+    def _state_closure(self, state: int):
+        """Entries/finals reachable from `state` via eps arcs and tee hops.
+
+        Returns (entries, finals):
+          entries: list of (hmm_arc, w_score, w_lm, w_ac, seq tuple)
+          finals:  list of (w_score(+final), w_lm(+final), w_ac, seq tuple)
+        Traversal order matches the reference's depth-first arc order;
+        cycles are cut at repeated states on the current path.
+        """
+        cached = self._state_entries.get(state)
+        if cached is not None:
+            return cached, self._state_finals[state]
+
+        net = self.net
+        entries: list = []
+        finals: list = []
+
+        def visit(s: int, w_lm: float, w_ac: float, seq: tuple, on_path: frozenset):
+            if len(entries) > self._max_entries:
+                raise RuntimeError("eps/tee closure blow-up; network has huge eps fanout")
+            fw = net.final_weight[s]
+            if fw > LOG_ZERO:
+                finals.append((w_lm + w_ac + fw, w_lm + fw, w_ac, seq))
+            for ai in net.arcs_from(s):
+                il = int(net.arc_ilabel[ai])
+                w = float(net.arc_weight[ai])
+                ol = int(net.arc_olabel[ai])
+                dst = int(net.arc_dst[ai])
+                if il == 0:
+                    nseq = seq + ((ol,) if ol != 0 else ())
+                    if dst in on_path:
+                        continue  # eps cycle: a second lap can never win a max-merge
+                    visit(dst, w_lm + w, w_ac, nseq, on_path | {dst})
+                else:
+                    hidx = int(self._global_to_hmm[ai])
+                    entries.append((hidx, w_lm + w_ac + w, w_lm + w, w_ac, seq))
+                    tee = float(self.tee[il - 1])
+                    if tee > LOG_ZERO:
+                        # tee hop: crossing the arc emits its olabel
+                        nseq = seq + ((ol,) if ol != 0 else ())
+                        if dst in on_path:
+                            continue
+                        visit(dst, w_lm + w, w_ac + tee, nseq, on_path | {dst})
+
+        visit(state, 0.0, 0.0, (), frozenset([state]))
+        self._state_entries[state] = entries
+        self._state_finals[state] = finals
+        return entries, finals
+
+    def _build_expansion(self) -> Expansion:
+        rows = []
+        frows = []
+        for a in range(self.n_hmm_arcs):
+            dst = int(self.arc_dst[a])
+            own = (int(self.arc_olabel[a]),) if self.arc_olabel[a] != 0 else ()
+            ents, fins = self._state_closure(dst)
+            rows.append(
+                [
+                    (b, ws, wl, wa, self.intern_seq(own + seq))
+                    for (b, ws, wl, wa, seq) in ents
+                ]
+            )
+            frows.append(
+                [
+                    (ws, wl, wa, self.intern_seq(own + seq))
+                    for (ws, wl, wa, seq) in fins
+                ]
+            )
+        # virtual start source (index n_hmm_arcs)
+        ents, fins = self._state_closure(self.net.init_state)
+        rows.append([(b, ws, wl, wa, self.intern_seq(seq)) for (b, ws, wl, wa, seq) in ents])
+        frows.append([(ws, wl, wa, self.intern_seq(seq)) for (ws, wl, wa, seq) in fins])
+
+        def pack(rows, n_fields):
+            counts = np.array([len(r) for r in rows], dtype=np.int64)
+            row_ptr = np.concatenate([[0], np.cumsum(counts)])
+            flat = [x for r in rows for x in r]
+            cols = list(zip(*flat)) if flat else [[] for _ in range(n_fields)]
+            return row_ptr, cols
+
+        row_ptr, cols = pack(rows, 5)
+        frow_ptr, fcols = pack(frows, 4)
+        return Expansion(
+            row_ptr=row_ptr,
+            arc=np.asarray(cols[0], dtype=np.int32),
+            w_score=np.asarray(cols[1], dtype=np.float64),
+            w_lm=np.asarray(cols[2], dtype=np.float64),
+            w_ac=np.asarray(cols[3], dtype=np.float64),
+            seq=np.asarray(cols[4], dtype=np.int32),
+            frow_ptr=frow_ptr,
+            f_score=np.asarray(fcols[0], dtype=np.float64),
+            f_lm=np.asarray(fcols[1], dtype=np.float64),
+            f_ac=np.asarray(fcols[2], dtype=np.float64),
+            f_seq=np.asarray(fcols[3], dtype=np.int32),
+        )
+
+    # -- stats --------------------------------------------------------------
+
+    @property
+    def max_fanout(self) -> int:
+        d = np.diff(self.expansion.row_ptr)
+        return int(d.max(initial=0))
+
+    def __repr__(self) -> str:
+        return (
+            f"DecoderArtifact(hmm_arcs={self.n_hmm_arcs}, S={self.S}, "
+            f"entries={len(self.expansion.arc)}, max_fanout={self.max_fanout}, "
+            f"seqs={len(self.seqs)})"
+        )
