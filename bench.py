@@ -1,0 +1,97 @@
+"""Headline benchmark: decoded audio frames / second / chip.
+
+Runs the fused acoustic-scoring + frontier-search decoder on a synthetic
+midsize task (word-loop CLG, diagonal-GMM HMMs) and measures sustained
+decode throughput in audio frames per second per chip. The reference
+baseline for `vs_baseline` is 100x real time at a 100 Hz frame rate
+(10,000 frames/s/chip) — the BASELINE.json north-star target
+(">100x real-time frames/s/chip").
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    quick = "--quick" in sys.argv
+    import jax
+    import jax.numpy as jnp
+
+    from juicer_tpu.utils.synth import make_synth_task
+    from juicer_tpu.decoder.tpu_core import TpuDecoder, TpuDecoderConfig
+    from juicer_tpu.ops.gmm import gmm_scores_dense
+
+    if quick:
+        n_words, n_phones, vec, B, T, iters = 30, 16, 20, 2, 100, 2
+        K, E = 256, 1024
+    else:
+        n_words, n_phones, vec, B, T, iters = 200, 40, 39, 32, 1000, 5
+        K, E = 1024, 4096
+
+    task = make_synth_task(
+        n_words=n_words, n_phones=n_phones, vec_size=vec, n_comps=8, seed=0
+    )
+    dec = TpuDecoder(
+        task.artifact,
+        TpuDecoderConfig(max_insts=K, expand_budget=E, final_budget=256),
+    )
+    params = task.models.flat_params()
+    V, M, b = jnp.asarray(params.V), jnp.asarray(params.M), jnp.asarray(params.b)
+    mask = jnp.asarray(params.mask)
+
+    def one(features):
+        scores = gmm_scores_dense(features, V, M, b, mask)
+        carry, ys, rec0 = dec._decode_scan(scores.astype(dec._dt))
+        return carry["best_final"]["score"]
+
+    step = jax.jit(jax.vmap(one))
+
+    # synthesize a real utterance batch (random word sequences); a few
+    # distinct utterances tiled to B keeps setup time low
+    rng = np.random.default_rng(1)
+    words = [f"w{i}" for i in range(n_words)]
+    distinct = []
+    for _ in range(min(B, 4)):
+        seq = [words[rng.integers(n_words)] for _ in range(max(2, T // 60))]
+        f = task.synth_utterance(seq, rng)
+        if f.shape[0] >= T:
+            f = f[:T]
+        else:
+            f = np.concatenate([f, np.tile(f[-1:], (T - f.shape[0], 1))])
+        distinct.append(f)
+    feats = np.stack([distinct[i % len(distinct)] for i in range(B)])
+    feats = jnp.asarray(feats, jnp.float32)
+
+    # warm up (compile)
+    out = step(feats)
+    out.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(feats)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    frames = B * T * iters
+    fps = frames / dt
+    baseline = 10_000.0  # 100x real time per chip at 100 frames/s
+    print(
+        json.dumps(
+            {
+                "metric": "decoded audio frames/sec/chip",
+                "value": round(fps, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -3,30 +3,39 @@
 The `WFSTDecoderLite` token-passing loop re-designed for XLA (SURVEY.md §7):
 
   - `NetInst` linked lists + BlockMemPool -> fixed-capacity frontier of K
-    slots, each an active HMM arc with S padded token states; per-frame
-    compaction by prefix-sum instead of pools;
-  - `trans->hook` -> a dense arc->slot map rebuilt by scatter each frame;
+    slots, each an active HMM arc with S padded token states, kept SORTED
+    BY ARC ID so that hypothesis recombination can look up live slots with
+    a dense vectorized binary search instead of a scattered hash
+    (`trans->hook` in the reference);
   - within-HMM Viterbi (`HMMInternalPropagation`) -> batched masked
-    max-plus over the padded (K, S, S) transition tensor with argmax
-    gathers for the acoustic/LM/path payload;
+    max-plus over the padded (K, S, S) transition tensor with one-hot
+    payload selection;
   - GMM eval -> precomputed dense (T, n_gmms) score matrix (two MXU
     matmuls, see ops/gmm.py);
   - recursive eps/tee `propagateToken` -> precomputed per-arc expansion
-    tables (see artifact.py) consumed by a fixed-budget gather +
-    scatter-max segment reduction (hypothesis recombination);
+    tables (see artifact.py) consumed by a fixed-budget gather;
+  - hypothesis recombination -> candidates sorted by (arc, -score, index)
+    with `lax.sort` (a parallel bitonic network), winner = first of each
+    run;
   - histogram pruning (`Histogram::calcThresh`) -> exact k-th-best
-    threshold via sort (strictly tighter than the reference's
+    threshold via top_k (strictly tighter than the reference's
     integer-binned approximation);
   - refcounted `Path` records + GC -> an append-only (T, K) traceback
     arena emitted from `lax.scan`; only merge-winning tokens write
     records, so the arena never needs collection.
+
+TPU performance rules baked in (profiled on v5e):
+  - arbitrary-index gathers/scatters serialize per *index*; every lookup is
+    either a single packed row-gather, a one-hot MXU matmul (exact: one-hot
+    rows have a single 1), a dense vectorized searchsorted (compare_all),
+    or payload carried through a sort;
+  - the only scatter left is the unique-index packed winner insertion.
 
 The whole per-utterance decode is ONE `lax.scan` over frames inside jit.
 """
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Optional
 
@@ -38,6 +47,25 @@ from .artifact import DecoderArtifact
 from .ref_core import DecodeResult, WordHyp
 
 NEG = -1.0e30
+
+
+def _segment_broadcast(rows, offs, valid_src, out_len):
+    """Scatter row k of `rows` (K, C) at position offs[k] (unique, ascending
+    for valid sources), then forward-fill so every position in [offs[k],
+    offs[k+1]) carries row k. Returns (out (out_len, C), filled (out_len,))."""
+    K, C = rows.shape
+    idx = jnp.where(valid_src, offs, out_len)  # invalid -> dropped
+    # single scatter: the valid mark rides as an extra column
+    rows_m = jnp.concatenate([rows, jnp.ones((K, 1), rows.dtype)], axis=1)
+    out = jnp.zeros((out_len, C + 1), rows.dtype).at[idx].set(
+        rows_m, mode="drop", unique_indices=True
+    )
+
+    def combine(a, b):
+        return jnp.where(b[..., -1:] > 0.5, b, a)
+
+    out = jax.lax.associative_scan(combine, out, axis=0)
+    return out[:, :C], out[:, -1] > 0.5
 
 
 @dataclass
@@ -61,188 +89,336 @@ class TpuDecoder:
         dt = jnp.float64 if cfg.dtype == "float64" else jnp.float32
 
         self._dt = dt
-        self.K = cfg.max_insts
-        self.E = cfg.expand_budget
-        self.F = cfg.final_budget
+
+        def _rup(x, m=128):
+            return max(m, ((int(x) + m - 1) // m) * m)
+
+        # budgets never need to exceed the network itself: at most n_hmm_arcs
+        # insts can be live, and one frame can expand at most every closure
+        # entry once
+        n_entries = len(artifact.expansion.arc)
+        n_fentries = len(artifact.expansion.f_score)
+        self.K = min(cfg.max_insts, _rup(artifact.n_hmm_arcs + 1))
+        self.E = min(cfg.expand_budget, _rup(n_entries + 1))
+        self.F = min(cfg.final_budget, _rup(n_fentries + 1))
         self.S = artifact.S
         self.n_arcs = artifact.n_hmm_arcs
+        self.H = artifact.trP.shape[0]
+
+        if cfg.dtype == "float32" and (
+            self.n_arcs >= (1 << 24) or len(artifact.seqs) >= (1 << 24)
+        ):
+            raise ValueError("network too large for f32 packed tables; use float64")
 
         ex = artifact.expansion
-        dev = {
-            "arc_hmm": jnp.asarray(artifact.arc_hmm),
-            "arc_olabel": jnp.asarray(artifact.arc_olabel),
-            "trP": jnp.asarray(artifact.trP, dtype=dt),
-            "state_gmm": jnp.asarray(artifact.state_gmm),
-            "row_ptr": jnp.asarray(ex.row_ptr, dtype=jnp.int32),
-            "ent_arc": jnp.asarray(ex.arc),
-            "ent_ws": jnp.asarray(ex.w_score, dtype=dt),
-            "ent_wlm": jnp.asarray(ex.w_lm, dtype=dt),
-            "ent_wac": jnp.asarray(ex.w_ac, dtype=dt),
-            "ent_seq": jnp.asarray(ex.seq),
-            "frow_ptr": jnp.asarray(ex.frow_ptr, dtype=jnp.int32),
-            "f_ws": jnp.asarray(ex.f_score, dtype=dt),
-            "f_wlm": jnp.asarray(ex.f_lm, dtype=dt),
-            "f_wac": jnp.asarray(ex.f_ac, dtype=dt),
-            "f_seq": jnp.asarray(ex.f_seq),
+
+        def pad1(x, fill=0):
+            x = np.asarray(x)
+            return np.concatenate([x, np.full(1, fill, x.dtype)]) if True else x
+
+        # --- per-arc metadata: ONE row-gather per frontier slot -----------
+        # rows: [hmm, olabel, ent_base, ent_fan, f_base, f_fan]
+        # extra row at index n_arcs+1? we use index n_arcs for the virtual
+        # start source and n_arcs+1 as the dead-slot sentinel.
+        n_src = self.n_arcs + 1
+        ent_base = np.asarray(ex.row_ptr[:-1], np.float64)
+        ent_fan = np.diff(ex.row_ptr).astype(np.float64)
+        f_base = np.asarray(ex.frow_ptr[:-1], np.float64)
+        f_fan = np.diff(ex.frow_ptr).astype(np.float64)
+        hmm_col = np.concatenate([artifact.arc_hmm.astype(np.float64), [0.0]])
+        ol_col = np.concatenate([artifact.arc_olabel.astype(np.float64), [0.0]])
+        arc_meta = np.stack(
+            [hmm_col, ol_col, ent_base, ent_fan, f_base, f_fan], axis=1
+        )
+        # dead-slot sentinel row (all zeros)
+        arc_meta = np.concatenate([arc_meta, np.zeros((1, 6))], axis=0)
+
+        # --- expansion entry tables packed for single row-gathers ---------
+        def pack_entries(arc, ws, wlm, wac, seq):
+            n = max(len(ws), 1)
+            out = np.zeros((n, 5))
+            if len(ws):
+                out[:, 0] = arc
+                out[:, 1] = ws
+                out[:, 2] = wlm
+                out[:, 3] = wac
+                out[:, 4] = seq
+            return out
+
+        ent_pack = pack_entries(ex.arc, ex.w_score, ex.w_lm, ex.w_ac, ex.seq)
+        f_pack = np.zeros((max(len(ex.f_score), 1), 4))
+        if len(ex.f_score):
+            f_pack[:, 0] = ex.f_score
+            f_pack[:, 1] = ex.f_lm
+            f_pack[:, 2] = ex.f_ac
+            f_pack[:, 3] = ex.f_seq
+
+        self.dev = {
+            "arc_meta": jnp.asarray(arc_meta, dtype=dt),  # (n_arcs+2, 6)
+            "trP_flat": jnp.asarray(
+                artifact.trP.reshape(self.H, -1), dtype=dt
+            ),  # (H, S*S)
+            "sg_mask": jnp.asarray(
+                (artifact.state_gmm >= 0).astype(np.float32), dtype=dt
+            ),  # (H, S)
+            "state_gmm": jnp.asarray(np.maximum(artifact.state_gmm, 0)),  # (H, S)
+            "ent_pack": jnp.asarray(ent_pack, dtype=dt),  # (n_ent, 5)
+            "f_pack": jnp.asarray(f_pack, dtype=dt),  # (n_fent, 4)
         }
-        # guard against empty tables (jnp indexing needs size >= 1)
-        for k in ("ent_arc", "ent_ws", "ent_wlm", "ent_wac", "ent_seq"):
-            if dev[k].shape[0] == 0:
-                dev[k] = jnp.zeros(1, dev[k].dtype)
-        for k in ("f_ws", "f_wlm", "f_wac", "f_seq"):
-            if dev[k].shape[0] == 0:
-                dev[k] = jnp.zeros(1, dev[k].dtype)
-        self.dev = dev
         self._decode_jit = jax.jit(self._decode_scan)
 
     # ------------------------------------------------------------------
-    # frontier helpers
+    # helpers
     # ------------------------------------------------------------------
+
+    def _onehot_matmul(self, idx, n, table):
+        """Exact gather-as-matmul: rows of one-hot(idx) @ table."""
+        oh = (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :]).astype(self._dt)
+        return jnp.dot(oh, table, preferred_element_type=self._dt,
+                       precision=jax.lax.Precision.HIGHEST)
 
     def _empty_frontier(self):
         K, S = self.K, self.S
         dt = self._dt
         return {
-            "arc": jnp.full((K,), -1, jnp.int32),
+            # arc = n_arcs+1 is the dead-slot sentinel (sorts last)
+            "arc": jnp.full((K,), self.n_arcs + 1, jnp.int32),
             "score": jnp.full((K, S), NEG, dt),
             "ac": jnp.full((K, S), NEG, dt),
             "lm": jnp.full((K, S), NEG, dt),
             "path": jnp.full((K, S), -1, jnp.int32),
         }
 
-    def _expand(self, src_score, src_ac, src_lm, src_path, src_arcrow, live):
+    # ------------------------------------------------------------------
+    # expansion
+    # ------------------------------------------------------------------
+
+    def _expand(self, src_score, src_ac, src_lm, src_path, base, fan, live):
         """Fixed-budget expansion of exiting tokens through the closure
-        tables. src_* are (K,) token fields; src_arcrow is the CSR row
-        (hmm-arc index, or n_arcs for the virtual start source)."""
+        tables. src_* are (K,) token fields; base/fan index the packed
+        entry table rows for each source."""
         dev = self.dev
+        dt = self._dt
         K, E = src_score.shape[0], self.E
-        fan = (dev["row_ptr"][src_arcrow + 1] - dev["row_ptr"][src_arcrow]) * live
-        offs = jnp.cumsum(fan) - fan  # start offset per source
+        fan = jnp.where(live, fan, 0)
+        offs = jnp.cumsum(fan) - fan
         total = offs[-1] + fan[-1]
         e_idx = jnp.arange(E, dtype=jnp.int32)
-        src_k = jnp.searchsorted(offs + fan, e_idx, side="right").astype(jnp.int32)
-        src_k = jnp.minimum(src_k, K - 1)
-        within = e_idx - offs[src_k]
-        valid = (e_idx < total) & (within < fan[src_k])
-        ent = dev["row_ptr"][src_arcrow[src_k]] + within
-        ent = jnp.clip(ent, 0, dev["ent_arc"].shape[0] - 1)
-        cand_arc = jnp.where(valid, dev["ent_arc"][ent], 0)
-        cand_score = jnp.where(valid, src_score[src_k] + dev["ent_ws"][ent], NEG)
-        cand_ac = src_ac[src_k] + dev["ent_wac"][ent]
-        cand_lm = src_lm[src_k] + dev["ent_wlm"][ent]
-        cand_prev = src_path[src_k]
-        cand_seq = dev["ent_seq"][ent]
-        overflow = total > E
+        # Distribute each source's fields across its candidate range: scatter
+        # the packed source row at its (unique, ascending) start offset, then
+        # forward-fill with a log-depth associative scan. This avoids both a
+        # binary search and a gather — everything is vectorized.
+        src_pack = jnp.stack(
+            [
+                src_score,
+                src_ac,
+                src_lm,
+                src_path.astype(dt),
+                base.astype(dt),
+                fan.astype(dt),
+                offs.astype(dt),
+            ],
+            axis=1,
+        )
+        rows, filled = _segment_broadcast(src_pack, offs, fan > 0, E)
+        s_score, s_ac, s_lm = rows[:, 0], rows[:, 1], rows[:, 2]
+        s_path = rows[:, 3].astype(jnp.int32)
+        s_base = rows[:, 4].astype(jnp.int32)
+        s_fan = rows[:, 5].astype(jnp.int32)
+        s_offs = rows[:, 6].astype(jnp.int32)
+        within = e_idx - s_offs
+        valid = filled & (e_idx < total) & (within < s_fan)
+        ent = jnp.clip(s_base + within, 0, dev["ent_pack"].shape[0] - 1)
+        erow = dev["ent_pack"][ent]  # (E, 5): the one sparse row-gather
+        cand_arc = jnp.where(valid, erow[:, 0].astype(jnp.int32), 0)
+        cand_score = jnp.where(valid, s_score + erow[:, 1], NEG)
+        cand_lm = s_lm + erow[:, 2]
+        cand_ac = s_ac + erow[:, 3]
+        cand_seq = erow[:, 4].astype(jnp.int32)
         return dict(
             arc=cand_arc, score=cand_score, ac=cand_ac, lm=cand_lm,
-            prev=cand_prev, seq=cand_seq, valid=valid & (cand_score > NEG / 2),
-            overflow=overflow,
+            prev=s_path, seq=cand_seq, valid=valid & (cand_score > NEG / 2),
+            overflow=total > E,
         )
 
-    def _expand_finals(self, src_score, src_ac, src_lm, src_path, src_arcrow, live, best):
+    def _expand_finals(self, src_score, src_ac, src_lm, src_path, base, fan, live, best):
         """Final-state candidates (bestFinalToken updates)."""
         dev = self.dev
+        dt = self._dt
         K, F = src_score.shape[0], self.F
-        fan = (dev["frow_ptr"][src_arcrow + 1] - dev["frow_ptr"][src_arcrow]) * live
+        fan = jnp.where(live, fan, 0)
         offs = jnp.cumsum(fan) - fan
         total = offs[-1] + fan[-1]
         e_idx = jnp.arange(F, dtype=jnp.int32)
-        src_k = jnp.searchsorted(offs + fan, e_idx, side="right").astype(jnp.int32)
-        src_k = jnp.minimum(src_k, K - 1)
-        within = e_idx - offs[src_k]
-        valid = (e_idx < total) & (within < fan[src_k])
-        ent = dev["frow_ptr"][src_arcrow[src_k]] + within
-        ent = jnp.clip(ent, 0, dev["f_ws"].shape[0] - 1)
-        sc = jnp.where(valid, src_score[src_k] + dev["f_ws"][ent], NEG)
+        src_pack = jnp.stack(
+            [
+                src_score,
+                src_ac,
+                src_lm,
+                src_path.astype(dt),
+                base.astype(dt),
+                fan.astype(dt),
+                offs.astype(dt),
+            ],
+            axis=1,
+        )
+        rows, filled = _segment_broadcast(src_pack, offs, fan > 0, F)
+        within = e_idx - rows[:, 6].astype(jnp.int32)
+        valid = filled & (e_idx < total) & (within < rows[:, 5].astype(jnp.int32))
+        ent = jnp.clip(
+            rows[:, 4].astype(jnp.int32) + within, 0, dev["f_pack"].shape[0] - 1
+        )
+        frow = dev["f_pack"][ent]  # (F, 4)
+        sc = jnp.where(valid, rows[:, 0] + frow[:, 0], NEG)
         i = jnp.argmax(sc)
         better = sc[i] > best["score"]
         new = {
             "score": jnp.where(better, sc[i], best["score"]),
-            "ac": jnp.where(better, src_ac[src_k[i]] + dev["f_wac"][ent[i]], best["ac"]),
-            "lm": jnp.where(better, src_lm[src_k[i]] + dev["f_wlm"][ent[i]], best["lm"]),
-            "path": jnp.where(better, src_path[src_k[i]], best["path"]),
-            "seq": jnp.where(better, dev["f_seq"][ent[i]], best["seq"]),
+            "ac": jnp.where(better, rows[i, 1] + frow[i, 2], best["ac"]),
+            "lm": jnp.where(better, rows[i, 2] + frow[i, 1], best["lm"]),
+            "path": jnp.where(better, rows[i, 3].astype(jnp.int32), best["path"]),
+            "seq": jnp.where(better, frow[i, 3].astype(jnp.int32), best["seq"]),
         }
         return new, total > F
 
+    # ------------------------------------------------------------------
+    # recombination + insertion
+    # ------------------------------------------------------------------
+
     def _merge_and_insert(self, fr, cand, t):
-        """Segment-max recombination of candidates by target arc, merge into
-        live slots or allocate new ones, emit traceback records."""
+        """Sort-based segment-max recombination, then insertion keeping the
+        frontier sorted by arc id."""
         K, S = self.K, self.S
         dt = self._dt
+        dead = jnp.int32(self.n_arcs + 1)
 
-        # liveness of existing insts: any token in states 0..S-2
-        live_tok = fr["score"][:, : S - 1] > NEG / 2
-        live = jnp.any(live_tok, axis=1) & (fr["arc"] >= 0)
+        # liveness: any token in states 0..S-2
+        live = jnp.any(fr["score"][:, : S - 1] > NEG / 2, axis=1) & (
+            fr["arc"] <= self.n_arcs
+        ) & (fr["arc"] >= 0)
 
-        # compact old slots to the front
-        order = jnp.argsort(~live, stable=True)  # live first, stable
-        fr = {k: v[order] for k, v in fr.items()}
-        n_live = jnp.sum(live.astype(jnp.int32))
+        # sort frontier rows by (live ? arc : dead): restores the sorted-by-
+        # arc invariant and compacts live rows to the front in one bitonic
+        # pass, payload carried through the sort
+        key = jnp.where(live, fr["arc"], dead)
+        # lax.sort sorts along the last axis of each operand; pass the (K, S)
+        # payloads as S separate (K,) operands
+        ops = [key]
+        for name in ("score", "ac", "lm", "path"):
+            for j in range(S):
+                ops.append(fr[name][:, j])
+        sorted_ops = jax.lax.sort(tuple(ops), num_keys=1)
+        key_s = sorted_ops[0]
+        idx = 1
+        fr2 = {"arc": jnp.where(key_s >= dead, dead, key_s)}
+        for name, fill, dtt in (
+            ("score", NEG, dt), ("ac", NEG, dt), ("lm", NEG, dt), ("path", -1, jnp.int32)
+        ):
+            cols = []
+            for j in range(S):
+                c = sorted_ops[idx]
+                idx += 1
+                cols.append(jnp.where(key_s >= dead, jnp.asarray(fill, c.dtype), c))
+            fr2[name] = jnp.stack(cols, axis=1)
+        fr = fr2
+        n_live = jnp.sum((key_s < dead).astype(jnp.int32))
 
-        # dense arc -> slot map (out-of-bounds index drops the write)
-        slot_ids = jnp.arange(K, dtype=jnp.int32)
-        arc_idx = jnp.where(fr["arc"] >= 0, fr["arc"], self.n_arcs)
-        arc_slot = jnp.full((self.n_arcs,), -1, jnp.int32).at[arc_idx].set(
-            slot_ids, mode="drop"
-        )
-
-        # segment-max by candidate target arc
-        seg_best = jnp.full((self.n_arcs,), NEG, dt).at[cand["arc"]].max(
-            jnp.where(cand["valid"], cand["score"], NEG), mode="drop"
-        )
-        is_best = cand["valid"] & (cand["score"] >= seg_best[cand["arc"]] - 0.0)
-        big = jnp.int32(2**30)
+        # sort candidates by (arc asc, score desc, index asc), payload
+        # carried through the sort
         e_ids = jnp.arange(self.E, dtype=jnp.int32)
-        seg_first = jnp.full((self.n_arcs,), big, jnp.int32).at[cand["arc"]].min(
-            jnp.where(is_best, e_ids, big), mode="drop"
+        sort_arc = jnp.where(cand["valid"], cand["arc"], dead)
+        sort_score = jnp.where(cand["valid"], -cand["score"], jnp.asarray(-NEG, dt))
+        (c_arc, c_negscore, _ids, c_ac, c_lm, c_prev, c_seq) = jax.lax.sort(
+            (sort_arc, sort_score, e_ids, cand["ac"], cand["lm"], cand["prev"],
+             cand["seq"]),
+            num_keys=3,
         )
-        winner = is_best & (e_ids == seg_first[cand["arc"]])
+        run_first = jnp.concatenate([jnp.ones((1,), bool), c_arc[1:] != c_arc[:-1]])
+        winner = run_first & (c_arc < dead)
+        w_score = jnp.where(winner, -c_negscore, NEG)
 
-        # slot allocation: winners write their entry token into a slot
-        tgt_slot = arc_slot[cand["arc"]]
-        need_new = winner & (tgt_slot < 0)
-        new_pos = jnp.cumsum(need_new.astype(jnp.int32)) - 1
-        alloc = n_live + new_pos
+        # existing-slot lookup without search or gather: co-sort frontier
+        # arcs (kind 0) with winner arcs (kind 1), CARRYING the winner
+        # payload through the sort. A winner merges into a frontier slot iff
+        # its immediate predecessor in the combined order is a frontier row
+        # with the same arc; the slot index and new-slot allocations come
+        # from prefix sums, and one packed unique-index row scatter lands
+        # everything in K space.
+        Z = jnp.zeros((K,), dt)
+        comb_key = jnp.concatenate([fr["arc"], jnp.where(winner, c_arc, dead)])
+        comb_kind = jnp.concatenate(
+            [jnp.zeros((K,), jnp.int32), jnp.ones((self.E,), jnp.int32)]
+        )
+        (ck, ckind, g_score, g_ac, g_lm, g_prev, g_seq) = jax.lax.sort(
+            (
+                comb_key,
+                comb_kind,
+                jnp.concatenate([Z, w_score]),
+                jnp.concatenate([Z, c_ac]),
+                jnp.concatenate([Z, c_lm]),
+                jnp.concatenate([jnp.zeros((K,), jnp.int32), c_prev]),
+                jnp.concatenate([jnp.zeros((K,), jnp.int32), c_seq]),
+            ),
+            num_keys=2,
+        )
+        is_cand = ckind == 1
+        prev_same_frontier = jnp.concatenate(
+            [jnp.zeros((1,), bool), (ck[1:] == ck[:-1]) & (ckind[:-1] == 0)]
+        )
+        winner_c = is_cand & (ck < dead)
+        ccount = jnp.cumsum(ckind) - ckind  # candidates strictly before
+        q_idx = jnp.arange(K + self.E, dtype=jnp.int32)
+        f_before = q_idx - ccount
+        hit = winner_c & prev_same_frontier
+        need_new = winner_c & ~prev_same_frontier
+        alloc = n_live + jnp.cumsum(need_new.astype(jnp.int32)) - 1
         overflow = jnp.any(need_new & (alloc >= K))
-        slot = jnp.where(need_new, alloc, tgt_slot)
-        w_ok = winner & (slot >= 0) & (slot < K)
-        # non-winning candidates get an out-of-bounds index so every scatter
-        # below silently drops them (mode="drop")
-        slot_w = jnp.where(w_ok, slot, K)
+        slot = jnp.where(hit, f_before - 1, jnp.where(need_new, alloc, -1))
+        w_ok = winner_c & (slot >= 0) & (slot < K)
+        slot_w = jnp.where(w_ok, slot, K)  # K = out of bounds -> dropped
 
-        # clear stale rows beyond the live prefix before inserting new arcs
-        stale = jnp.arange(K) >= n_live
-        arc_new = jnp.where(stale, -1, fr["arc"])
-        score = jnp.where(stale[:, None], NEG, fr["score"])
-        ac = jnp.where(stale[:, None], NEG, fr["ac"])
-        lm = jnp.where(stale[:, None], NEG, fr["lm"])
-        path = jnp.where(stale[:, None], -1, fr["path"])
-
-        arc_new = arc_new.at[slot_w].set(cand["arc"], mode="drop")
-
-        # entry-token merge (states[0]); at most one winner per arc and the
-        # entry state is null after internal propagation, so plain set is the
-        # max-merge
         rec_id = (t * K + slot_w).astype(jnp.int32)
-        has_seq = cand["seq"] != 0
-        entry_path = jnp.where(has_seq, rec_id, cand["prev"])
-        score = score.at[slot_w, 0].set(cand["score"], mode="drop")
-        ac = ac.at[slot_w, 0].set(cand["ac"], mode="drop")
-        lm = lm.at[slot_w, 0].set(cand["lm"], mode="drop")
-        path = path.at[slot_w, 0].set(entry_path, mode="drop")
+        has_seq = g_seq != 0
+        entry_path = jnp.where(has_seq, rec_id, g_prev)
 
-        # traceback records (one per winning entry with a non-empty label seq)
-        slot_rec = jnp.where(w_ok & has_seq, slot, K)
+        # packed row scatter: [arc, score, ac, lm, entry_path, prev, seq,
+        # has_seq, got]
+        payload = jnp.stack(
+            [
+                ck.astype(dt),
+                g_score,
+                g_ac,
+                g_lm,
+                entry_path.astype(dt),
+                g_prev.astype(dt),
+                g_seq.astype(dt),
+                has_seq.astype(dt),
+                jnp.ones((K + self.E,), dt),
+            ],
+            axis=1,
+        )
+        landed = jnp.zeros((K, 9), dt)
+        landed = landed.at[slot_w].set(payload, mode="drop", unique_indices=True)
+        got = landed[:, 8] > 0.5
+
+        arc_new = jnp.where(got, landed[:, 0].astype(jnp.int32), fr["arc"])
+        score = fr["score"].at[:, 0].set(jnp.where(got, landed[:, 1], NEG))
+        ac = fr["ac"].at[:, 0].set(jnp.where(got, landed[:, 2], NEG))
+        lm = fr["lm"].at[:, 0].set(jnp.where(got, landed[:, 3], NEG))
+        path = fr["path"].at[:, 0].set(
+            jnp.where(got, landed[:, 4].astype(jnp.int32), -1)
+        )
+
+        rec_valid = got & (landed[:, 7] > 0.5)
         rec = {
-            "prev": jnp.full((K,), -1, jnp.int32).at[slot_rec].set(cand["prev"], mode="drop"),
-            "seq": jnp.full((K,), 0, jnp.int32).at[slot_rec].set(cand["seq"], mode="drop"),
-            "score": jnp.full((K,), NEG, dt).at[slot_rec].set(cand["score"], mode="drop"),
-            "ac": jnp.full((K,), NEG, dt).at[slot_rec].set(cand["ac"], mode="drop"),
-            "lm": jnp.full((K,), NEG, dt).at[slot_rec].set(cand["lm"], mode="drop"),
+            "prev": jnp.where(rec_valid, landed[:, 5].astype(jnp.int32), -1),
+            "seq": jnp.where(rec_valid, landed[:, 6].astype(jnp.int32), 0),
+            "score": jnp.where(rec_valid, landed[:, 1], NEG),
+            "ac": jnp.where(rec_valid, landed[:, 2], NEG),
+            "lm": jnp.where(rec_valid, landed[:, 3], NEG),
         }
 
-        best_new = jnp.max(jnp.where(winner, cand["score"], NEG))
+        best_new = jnp.max(jnp.where(w_ok, g_score, NEG))
         fr_new = {"arc": arc_new, "score": score, "ac": ac, "lm": lm, "path": path}
         return fr_new, rec, best_new, overflow
 
@@ -253,14 +429,16 @@ class TpuDecoder:
     def _frame_step(self, carry, frame_in):
         cfg = self.cfg
         dev = self.dev
-        K, S = self.K, self.S
+        K, S, H = self.K, self.S, self.H
         dt = self._dt
         gmm_t, t = frame_in["gmm"], frame_in["t"]
         fr = carry["fr"]
 
-        normalise = jnp.where(carry["best_emit"] > NEG / 2, carry["best_emit"], 0.0).astype(dt)
+        normalise = jnp.where(
+            carry["best_emit"] > NEG / 2, carry["best_emit"], 0.0
+        ).astype(dt)
 
-        # emit threshold (histogram/top-k ∧ main beam)
+        # emit threshold (exact top-k "histogram" ∧ main beam)
         if cfg.max_emit_hyps > 0:
             thresh = carry["kth_emit"] - normalise
             if cfg.emit_prune_win > 0.0:
@@ -277,27 +455,35 @@ class TpuDecoder:
         )
 
         # ---- internal propagation ----------------------------------------
-        # entry-state LM pruning
         entry = fr["score"][:, 0]
         fr["score"] = fr["score"].at[:, 0].set(jnp.where(entry < start_thresh, NEG, entry))
 
-        hmm = jnp.where(fr["arc"] >= 0, dev["arc_hmm"][jnp.maximum(fr["arc"], 0)], 0)
-        trP = dev["trP"][hmm]  # (K, S, S)
+        # per-arc metadata: one row-gather
+        meta = dev["arc_meta"][jnp.minimum(fr["arc"], self.n_arcs + 1)]  # (K, 6)
+        hmm = meta[:, 0].astype(jnp.int32)
+        arc_ol = meta[:, 1].astype(jnp.int32)
 
-        # emitting states: j in 1..S-2
+        # per-frame per-HMM state scores (one tiny gather over H*S), then all
+        # topology via ONE exact one-hot matmul (K, H) @ (H, S*S + 2S)
+        hmm_scores = gmm_t[dev["state_gmm"].reshape(-1)].reshape(H, S)
+        topo = jnp.concatenate([dev["trP_flat"], dev["sg_mask"], hmm_scores], axis=1)
+        rows = self._onehot_matmul(hmm, H, topo)  # (K, S*S + 2S)
+        trP = rows[:, : S * S].reshape(K, S, S)
+        emitting = rows[:, S * S : S * S + S] > 0.5  # (K, S)
+        outp = rows[:, S * S + S :]  # (K, S)
+        # dead slots: kill transitions
+        deadm = (fr["arc"] > self.n_arcs)[:, None, None]
+        trP = jnp.where(deadm, NEG, trP)
+
         m = fr["score"][:, :, None] + trP  # (K, i, j)
-        best_i = jnp.argmax(m, axis=1)  # (K, j)
-        new_score = jnp.take_along_axis(m, best_i[:, None, :], axis=1)[:, 0, :]
-        k_ids = jnp.arange(K)[:, None]
-        gi = best_i  # (K, j)
-        step_w = jnp.take_along_axis(trP, gi[:, None, :], axis=1)[:, 0, :]
-        new_ac = fr["ac"][k_ids, gi] + step_w
-        new_lm = fr["lm"][k_ids, gi]
-        new_path = fr["path"][k_ids, gi]
+        new_score = jnp.max(m, axis=1)
+        best_i = jnp.argmax(m, axis=1)
+        oh = jax.lax.broadcasted_iota(jnp.int32, (K, S, S), 1) == best_i[:, None, :]
+        ohf = oh.astype(dt)
+        new_ac = jnp.einsum("kij,ki->kj", ohf, fr["ac"]) + jnp.sum(ohf * trP, axis=1)
+        new_lm = jnp.einsum("kij,ki->kj", ohf, fr["lm"])
+        new_path = jnp.sum(oh * fr["path"][:, :, None], axis=1, dtype=jnp.int32)
 
-        sg = dev["state_gmm"][hmm]  # (K, S)
-        emitting = sg >= 0
-        outp = gmm_t[jnp.maximum(sg, 0)]  # (K, S)
         ns = new_score - normalise
         pass_emit = emitting & (ns > emit_thresh) & (new_score > NEG / 2)
         e_score = jnp.where(pass_emit, ns + outp, NEG)
@@ -313,31 +499,28 @@ class TpuDecoder:
         else:
             kth_emit = jnp.asarray(NEG, dt)
 
-        # write back emitting tokens (entry becomes null)
         score2 = jnp.where(emitting, e_score, NEG)
         ac2 = jnp.where(emitting, e_ac, NEG)
         lm2 = jnp.where(emitting, e_lm, NEG)
         path2 = jnp.where(emitting, e_path, -1)
 
-        # exit state: max over emitting j of new emitting score + trP[j, S-1]
-        exit_cand = jnp.where(emitting, score2, NEG) + trP[:, :, S - 1]
+        # exit state via one-hot over the winning emitting j
+        exit_w = trP[:, :, S - 1]
+        exit_cand = jnp.where(emitting, score2, NEG) + exit_w
         j_best = jnp.argmax(exit_cand, axis=1)
-        kk = jnp.arange(K)
-        exit_score = exit_cand[kk, j_best]
+        ohj = jax.lax.broadcasted_iota(jnp.int32, (K, S), 1) == j_best[:, None]
+        ohjf = ohj.astype(dt)
+        exit_score = jnp.max(exit_cand, axis=1)
         exit_ok = exit_score > NEG / 2
         exit_score = jnp.where(exit_ok, exit_score, NEG)
-        exit_ac = jnp.where(exit_ok, ac2[kk, j_best] + trP[kk, j_best, S - 1], NEG)
-        exit_lm = jnp.where(exit_ok, lm2[kk, j_best], NEG)
-        exit_path = jnp.where(exit_ok, path2[kk, j_best], -1)
+        exit_ac = jnp.where(exit_ok, jnp.sum(ohjf * (ac2 + exit_w), axis=1), NEG)
+        exit_lm = jnp.where(exit_ok, jnp.sum(ohjf * lm2, axis=1), NEG)
+        exit_path = jnp.where(
+            exit_ok, jnp.sum(ohj * path2, axis=1, dtype=jnp.int32), -1
+        )
         best_end = jnp.max(exit_score)
 
-        fr = {
-            "arc": fr["arc"],
-            "score": score2,
-            "ac": ac2,
-            "lm": lm2,
-            "path": path2,
-        }
+        fr = {"arc": fr["arc"], "score": score2, "ac": ac2, "lm": lm2, "path": path2}
 
         # ---- external propagation ----------------------------------------
         end_thresh = (
@@ -346,18 +529,23 @@ class TpuDecoder:
             else jnp.asarray(NEG, dt)
         )
         word_thresh = (
-            best_end - cfg.word_prune_win if cfg.word_prune_win > 0.0 else jnp.asarray(NEG, dt)
+            best_end - cfg.word_prune_win
+            if cfg.word_prune_win > 0.0
+            else jnp.asarray(NEG, dt)
         )
-        arc_ol = jnp.where(fr["arc"] >= 0, dev["arc_olabel"][jnp.maximum(fr["arc"], 0)], 0)
         thresh_k = jnp.where(arc_ol == 0, end_thresh, word_thresh)
-        live_exit = exit_ok & (exit_score > thresh_k) & (fr["arc"] >= 0)
+        live_exit = exit_ok & (exit_score > thresh_k) & (fr["arc"] <= self.n_arcs)
 
-        src_row = jnp.where(fr["arc"] >= 0, fr["arc"], 0)
-        cand = self._expand(exit_score, exit_ac, exit_lm, exit_path, src_row, live_exit)
+        ent_base = meta[:, 2].astype(jnp.int32)
+        ent_fan = meta[:, 3].astype(jnp.int32)
+        f_base = meta[:, 4].astype(jnp.int32)
+        f_fan = meta[:, 5].astype(jnp.int32)
+        cand = self._expand(
+            exit_score, exit_ac, exit_lm, exit_path, ent_base, ent_fan, live_exit
+        )
         best_final, f_overflow = self._expand_finals(
-            exit_score, exit_ac, exit_lm, exit_path, src_row, live_exit,
-            {"score": jnp.asarray(NEG, dt), "ac": jnp.asarray(NEG, dt),
-             "lm": jnp.asarray(NEG, dt), "path": jnp.int32(-1), "seq": jnp.int32(0)},
+            exit_score, exit_ac, exit_lm, exit_path, f_base, f_fan, live_exit,
+            carry_best_zero(dt),
         )
 
         fr, rec, best_entry, m_overflow = self._merge_and_insert(fr, cand, t)
@@ -389,18 +577,21 @@ class TpuDecoder:
     def _init_carry(self):
         dt = self._dt
         fr = self._empty_frontier()
-        # initial propagation: virtual start row (index n_arcs), token 0.0
         K = self.K
+        # initial propagation: virtual start source occupies row n_arcs of
+        # the metadata table
         src_score = jnp.full((K,), NEG, dt).at[0].set(0.0)
         src_zero = jnp.zeros((K,), dt)
         src_path = jnp.full((K,), -1, jnp.int32)
-        src_row = jnp.full((K,), self.n_arcs, jnp.int32)
         live = jnp.zeros((K,), bool).at[0].set(True)
-        cand = self._expand(src_score, src_zero, src_zero, src_path, src_row, live)
+        meta0 = self.dev["arc_meta"][self.n_arcs]
+        base = jnp.full((K,), meta0[2], self._dt).astype(jnp.int32)
+        fan = jnp.full((K,), meta0[3], self._dt).astype(jnp.int32)
+        fb = jnp.full((K,), meta0[4], self._dt).astype(jnp.int32)
+        ff = jnp.full((K,), meta0[5], self._dt).astype(jnp.int32)
+        cand = self._expand(src_score, src_zero, src_zero, src_path, base, fan, live)
         best_final, f_ov = self._expand_finals(
-            src_score, src_zero, src_zero, src_path, src_row, live,
-            {"score": jnp.asarray(NEG, dt), "ac": jnp.asarray(NEG, dt),
-             "lm": jnp.asarray(NEG, dt), "path": jnp.int32(-1), "seq": jnp.int32(0)},
+            src_score, src_zero, src_zero, src_path, fb, ff, live, carry_best_zero(dt)
         )
         fr, rec0, best_entry, m_ov = self._merge_and_insert(fr, cand, -1)
         carry = {
@@ -439,7 +630,9 @@ class TpuDecoder:
         if bool(np.asarray(carry["overflow"])):
             import warnings
 
-            warnings.warn("TpuDecoder: expansion/frontier budget overflow; results may be pruned")
+            warnings.warn(
+                "TpuDecoder: expansion/frontier budget overflow; results may be pruned"
+            )
         score = float(bf["score"])
         if score <= NEG / 2:
             return DecodeResult([], [], NEG, NEG, NEG, T)
@@ -465,7 +658,6 @@ class TpuDecoder:
             )
 
         hyps: list[WordHyp] = []
-        # final token's own label sequence
         fseq = seqs[int(bf["seq"])]
         for lab in reversed(fseq):
             hyps.append(WordHyp(lab, T - 1, score, float(bf["ac"]), float(bf["lm"])))
@@ -489,3 +681,13 @@ class TpuDecoder:
             lm_score=float(bf["lm"]),
             n_frames=T,
         )
+
+
+def carry_best_zero(dt):
+    return {
+        "score": jnp.asarray(NEG, dt),
+        "ac": jnp.asarray(NEG, dt),
+        "lm": jnp.asarray(NEG, dt),
+        "path": jnp.int32(-1),
+        "seq": jnp.int32(0),
+    }
