@@ -1,0 +1,195 @@
+"""juicer CLI: the batch decoder driver.
+
+Mirrors `/root/reference/src/juicer.cpp`: loads vocabulary, acoustic models
+(HTK MMF or hybrid priors), the composed network (with LM scale / insertion
+penalty baked in at load), checks resource consistency, builds a decoder
+core (TPU frontier engine by default, `-refCore` for the numpy oracle
+token-passing core), and runs the batch harness with WER/RTF reporting.
+
+Binary caching (`-writeBinaryFiles`): the parsed network and models are
+cached as .npz next to their sources and auto-loaded when newer
+(`juicer.cpp:777-802,852-890` analogue).
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def make_parser():
+    p = argparse.ArgumentParser(prog="jtpu-juicer", description=__doc__)
+    # resources
+    p.add_argument("-lexFName", required=True)
+    p.add_argument("-sentStartWord", default=None)
+    p.add_argument("-sentEndWord", default=None)
+    p.add_argument("-fsmFName", required=True)
+    p.add_argument("-inSymsFName", required=True)
+    p.add_argument("-outSymsFName", required=True)
+    p.add_argument("-htkModelsFName", default=None)
+    p.add_argument("-monoListFName", default=None)
+    p.add_argument("-priorsFName", default=None)
+    p.add_argument("-statesPerModel", type=int, default=0)
+    # decoding parameters
+    p.add_argument("-lmScaleFactor", type=float, default=1.0)
+    p.add_argument("-insPenalty", type=float, default=0.0)
+    p.add_argument("-mainBeam", type=float, default=0.0, help="emitting-state beam width")
+    p.add_argument("-phoneStartBeam", type=float, default=0.0)
+    p.add_argument("-phoneEndBeam", type=float, default=0.0)
+    p.add_argument("-wordEmitBeam", type=float, default=0.0)
+    p.add_argument("-maxHyps", type=int, default=0, help="histogram pruning top-N")
+    p.add_argument("-refCore", action="store_true", help="use the numpy oracle core")
+    p.add_argument("-maxInsts", type=int, default=8192)
+    p.add_argument("-expandBudget", type=int, default=32768)
+    p.add_argument("-batchSize", type=int, default=1, help="utterances decoded per device batch")
+    # input / output
+    p.add_argument("-inputFName", required=True, help="list of feature files")
+    p.add_argument("-inputFormat", default="htk", choices=["htk", "lna", "npy"])
+    p.add_argument("-framesPerSec", type=float, default=100.0)
+    p.add_argument("-outputFName", default=None)
+    p.add_argument("-outputFormat", default="verbose",
+                   choices=["ref", "trans", "mlf", "xmlf", "verbose"])
+    p.add_argument("-refFName", default=None)
+    p.add_argument("-removeSentMarks", action="store_true")
+    p.add_argument("-writeBinaryFiles", action="store_true")
+    p.add_argument("-logFName", default=None)
+    return p
+
+
+def load_models(args):
+    from ..am import AcousticModelSet
+    from ..lexicon import PhoneSet
+
+    if args.htkModelsFName:
+        cache = args.htkModelsFName + ".npz"
+        if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(
+            args.htkModelsFName
+        ):
+            return AcousticModelSet.load_npz(cache)
+        models = AcousticModelSet.from_mmf(args.htkModelsFName)
+        if args.writeBinaryFiles:
+            models.save_npz(cache)
+        return models
+    if args.priorsFName and args.monoListFName:
+        ps = PhoneSet(args.monoListFName)
+        priors = np.loadtxt(args.priorsFName).reshape(-1)
+        return AcousticModelSet.hybrid(list(ps.phones), priors, args.statesPerModel)
+    raise SystemExit("juicer: need -htkModelsFName or (-monoListFName -priorsFName)")
+
+
+def check_consistency(net, models, vocab):
+    """Network input symbols must match the model set index-for-index and
+    output symbols must match the vocabulary (`juicer.cpp:1001-1061`)."""
+    problems = []
+    if net.in_syms is not None:
+        for i, name in enumerate(models.hmm_names):
+            sym = net.in_syms[i + 1] if i + 1 < len(net.in_syms) else None
+            if sym is not None and sym != name and not sym.startswith("#"):
+                problems.append(f"inSym {i + 1} = {sym!r} but model {i} = {name!r}")
+                if len(problems) > 5:
+                    break
+    if net.out_syms is not None:
+        for i in range(vocab.n_words):
+            if vocab.get_num_pronuns(i) <= 0:
+                continue
+            sym = net.out_syms[i + 1] if i + 1 < len(net.out_syms) else None
+            if sym is not None and sym != vocab.get_word(i):
+                problems.append(
+                    f"outSym {i + 1} = {sym!r} but vocab {i} = {vocab.get_word(i)!r}"
+                )
+                if len(problems) > 5:
+                    break
+    if problems:
+        raise SystemExit("juicer: resource consistency check failed:\n  " + "\n  ".join(problems))
+
+
+def main(argv=None):
+    args = make_parser().parse_args(argv)
+    from ..lexicon import Vocabulary
+    from ..decoder import DecoderNetwork, RefDecoder, TpuDecoder
+    from ..decoder.artifact import DecoderArtifact
+    from ..decoder.tpu_core import TpuDecoderConfig
+    from ..harness.batch import BatchTester, OutputFormat
+
+    vocab = Vocabulary(args.lexFName, "!", args.sentStartWord, args.sentEndWord)
+    models = load_models(args)
+
+    cache = args.fsmFName + ".npz"
+    if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(args.fsmFName):
+        net = DecoderNetwork.load_npz(cache)
+    else:
+        net = DecoderNetwork.from_files(
+            args.fsmFName, args.inSymsFName, args.outSymsFName,
+            lm_scale=args.lmScaleFactor, ins_pen=args.insPenalty,
+        )
+        if args.writeBinaryFiles:
+            net.save_npz(cache)
+    check_consistency(net, models, vocab)
+
+    if models.hybrid_mode:
+        import jax.numpy as jnp
+
+        lp = np.asarray(models.log_priors)
+
+        def scorer(feats):
+            return feats - lp[None, :]
+    else:
+        from ..ops.gmm import make_gmm_scorer
+
+        scorer = make_gmm_scorer(models.flat_params())
+
+    if args.refCore:
+        ref = RefDecoder(
+            net, models,
+            phone_start_prune_win=args.phoneStartBeam,
+            emit_prune_win=args.mainBeam,
+            phone_end_prune_win=args.phoneEndBeam,
+            word_prune_win=args.wordEmitBeam,
+            max_emit_hyps=args.maxHyps,
+        )
+
+        def decode_fn(feats):
+            sc = np.asarray(scorer(feats)) if not models.hybrid_mode else scorer(feats)
+            return ref.decode(score_fn=lambda t, g: float(sc[t, g]), n_frames=len(sc))
+    else:
+        art = DecoderArtifact(net, models)
+        dec = TpuDecoder(
+            art,
+            TpuDecoderConfig(
+                max_insts=args.maxInsts,
+                expand_budget=args.expandBudget,
+                phone_start_prune_win=args.phoneStartBeam,
+                emit_prune_win=args.mainBeam,
+                phone_end_prune_win=args.phoneEndBeam,
+                word_prune_win=args.wordEmitBeam,
+                max_emit_hyps=args.maxHyps,
+            ),
+        )
+
+        def decode_fn(feats):
+            sc = np.asarray(scorer(feats)) if not models.hybrid_mode else scorer(feats)
+            return dec.decode_scores(sc)
+
+    tester = BatchTester(
+        decode_fn,
+        word_names=vocab.words,
+        output_format=OutputFormat(args.outputFormat),
+        output_file=args.outputFName,
+        frames_per_sec=args.framesPerSec,
+        remove_sent_marks=args.removeSentMarks,
+        sent_start_index=vocab.sent_start_index,
+        sent_end_index=vocab.sent_end_index,
+        feature_kind=args.inputFormat,
+        lna_outputs=models.vec_size if models.hybrid_mode else 0,
+    )
+    specs = BatchTester.read_input_list(args.inputFName)
+    refs = None
+    if args.refFName:
+        refs = BatchTester.read_references(args.refFName, specs, vocab.get_index)
+    tester.run(specs, refs)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
