@@ -54,6 +54,7 @@ def make_parser():
     p.add_argument("-removeSentMarks", action="store_true")
     p.add_argument("-writeBinaryFiles", action="store_true")
     p.add_argument("-logFName", default=None)
+    p.add_argument("-latticeDir", default=None, help="write per-utterance lattices here")
     return p
 
 
@@ -164,11 +165,14 @@ def main(argv=None):
                 phone_end_prune_win=args.phoneEndBeam,
                 word_prune_win=args.wordEmitBeam,
                 max_emit_hyps=args.maxHyps,
+                gen_lattice=args.latticeDir is not None,
             ),
         )
 
         def decode_fn(feats):
             sc = np.asarray(scorer(feats)) if not models.hybrid_mode else scorer(feats)
+            if args.latticeDir is not None:
+                return dec.decode_scores_lattice(sc)
             return dec.decode_scores(sc)
 
     tester = BatchTester(
@@ -182,6 +186,7 @@ def main(argv=None):
         sent_end_index=vocab.sent_end_index,
         feature_kind=args.inputFormat,
         lna_outputs=models.vec_size if models.hybrid_mode else 0,
+        lattice_dir=args.latticeDir,
     )
     specs = BatchTester.read_input_list(args.inputFName)
     refs = None

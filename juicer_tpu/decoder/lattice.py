@@ -1,0 +1,157 @@
+"""Word/phone lattice construction from TPU decoder edge records.
+
+Rebuild of `WFSTLattice` (`/root/reference/src/WFSTLattice.{h,cpp}`): the
+reference builds the lattice incrementally during decoding — one lattice
+state per (frame, network state) via a per-frame map (`addEntry`,
+`WFSTLattice.cpp:160-240`), an arc per hypothesis extension, final states
+at utterance end, periodic dead-end transition removal (`:411`), and an
+FSM-format writer with negated weights (`writeLatticeFSM`, `:323`).
+
+The TPU engine instead emits flat per-frame records from the scan:
+
+  - an EVENT record for every merge-winning entry token: (frame, slot) ->
+    (entered arc, cumulative acoustic/LM score). Events are the lattice
+    states — the exact analogue of the reference's per-frame
+    net-state -> lattice-state map entries;
+  - an EDGE record for every beam-surviving expansion candidate (winners
+    AND losers), carrying the source token's entry-event id, the target
+    arc, the candidate's cumulative scores, and the crossed word labels.
+
+This module assembles them on the host: edge weight = candidate cumulative
+minus source-event cumulative (per-edge acoustic+LM segment cost, negated
+on write); input label = the entered arc's model; multi-word label
+sequences are factored into eps chains; dead-end removal is a single trim
+to accessible/coaccessible states (`fst.algos.connect`) — the reference's
+periodic removal is a memory optimization its incremental structure needs
+and the arena form doesn't.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..fst import EPSILON, Fst, LOG, SymbolTable, algos, write_fsm
+from .artifact import DecoderArtifact
+
+NEG = -1.0e30
+
+
+def build_lattice(
+    art: DecoderArtifact,
+    ys: dict,
+    rec0: dict,
+    T: int,
+    project_output: bool = False,
+) -> Fst:
+    """Assemble a lattice Fst from decoder lattice records."""
+    seqs = art.seqs
+    K = len(np.asarray(rec0["ev_arc"]))
+
+    # ---- event table: ev_id -> (arc, cum_ac, cum_lm, fst state) ----------
+    ev_arc0 = np.asarray(rec0["ev_arc"])
+    ev_ac0 = np.asarray(rec0["ev_ac"])
+    ev_lm0 = np.asarray(rec0["ev_lm"])
+    ev_arc = np.asarray(ys["ev_arc"]) if T > 0 else np.zeros((0, K), np.int32)
+    ev_ac = np.asarray(ys["ev_ac"]) if T > 0 else np.zeros((0, K))
+    ev_lm = np.asarray(ys["ev_lm"]) if T > 0 else np.zeros((0, K))
+
+    f = Fst(LOG)
+    start = f.add_state()
+    f.set_start(start)
+
+    ev_state: dict[int, int] = {}
+    ev_cum: dict[int, float] = {}
+    by_frame_arc: dict[tuple[int, int], int] = {}
+
+    def register_events(t: int, arcs, acs, lms):
+        for slot in np.nonzero(arcs >= 0)[0]:
+            ev = t * K + int(slot)
+            ev_state[ev] = f.add_state()
+            ev_cum[ev] = float(acs[slot]) + float(lms[slot])
+            by_frame_arc[(t, int(arcs[slot]))] = ev
+
+    register_events(-1, ev_arc0, ev_ac0, ev_lm0)
+    for t in range(T):
+        register_events(t, ev_arc[t], ev_ac[t], ev_lm[t])
+
+    def src_of(ev: int):
+        if ev == -1:
+            return start, 0.0
+        s = ev_state.get(ev)
+        return (s, ev_cum[ev]) if s is not None else (None, 0.0)
+
+    def add_edge(src, dst, in_label, labels, cost):
+        if len(labels) <= 1:
+            f.add_arc(src, dst, in_label, labels[0] if labels else EPSILON, cost)
+            return
+        cur = src
+        for i, lab in enumerate(labels):
+            last = i == len(labels) - 1
+            nxt = dst if last else f.add_state()
+            f.add_arc(cur, nxt, in_label if i == 0 else EPSILON, lab,
+                      cost if i == 0 else 0.0)
+            cur = nxt
+
+    # ---- edges -----------------------------------------------------------
+    def emit_edges(t, from_ev, to_arc, ac, lm, seq, valid):
+        for e in np.nonzero(valid)[0]:
+            src, src_cum = src_of(int(from_ev[e]))
+            if src is None:
+                continue
+            ev = by_frame_arc.get((t, int(to_arc[e])))
+            if ev is None:
+                continue  # target arc's winner overflowed the frontier
+            dst = ev_state[ev]
+            cost = -((float(ac[e]) + float(lm[e])) - src_cum)
+            in_label = int(art.arc_hmm[int(to_arc[e])]) + 1
+            add_edge(src, dst, in_label, seqs[int(seq[e])], cost)
+
+    if "lat_valid" in rec0:
+        emit_edges(
+            -1,
+            np.asarray(rec0["lat_from_ev"]), np.asarray(rec0["lat_to_arc"]),
+            np.asarray(rec0["lat_ac"]), np.asarray(rec0["lat_lm"]),
+            np.asarray(rec0["lat_seq"]), np.asarray(rec0["lat_valid"]),
+        )
+    if T > 0:
+        lf = np.asarray(ys["lat_from_ev"])
+        lt = np.asarray(ys["lat_to_arc"])
+        la = np.asarray(ys["lat_ac"])
+        ll = np.asarray(ys["lat_lm"])
+        ls = np.asarray(ys["lat_seq"])
+        lv = np.asarray(ys["lat_valid"])
+        for t in range(T):
+            emit_edges(t, lf[t], lt[t], la[t], ll[t], ls[t], lv[t])
+
+        # ---- final states from the LAST frame's final candidates ---------
+        fv = np.asarray(ys["flat_valid"])[T - 1]
+        fe = np.asarray(ys["flat_from_ev"])[T - 1]
+        fa = np.asarray(ys["flat_ac"])[T - 1]
+        fl = np.asarray(ys["flat_lm"])[T - 1]
+        fs = np.asarray(ys["flat_seq"])[T - 1]
+        for e in np.nonzero(fv)[0]:
+            src, src_cum = src_of(int(fe[e]))
+            if src is None:
+                continue
+            cost = -((float(fa[e]) + float(fl[e])) - src_cum)
+            labels = seqs[int(fs[e])]
+            if labels:
+                end = f.add_state()
+                add_edge(src, end, EPSILON, labels, cost)
+                f.set_final(end, 0.0)
+            else:
+                w = f.final_weight(src)
+                f.set_final(src, min(w, cost) if w < 1e29 else cost)
+
+    # dead-end removal
+    f = algos.connect(f)
+    if project_output:
+        f = algos.project(f, output=True)
+    return f
+
+
+def write_lattice(lattice: Fst, path: str) -> None:
+    """FSM-format lattice output (`writeLatticeFSM`)."""
+    write_fsm(lattice, path)

@@ -79,6 +79,7 @@ class TpuDecoderConfig:
     word_prune_win: float = 0.0
     max_emit_hyps: int = 0
     dtype: str = "float32"
+    gen_lattice: bool = False
 
 
 class TpuDecoder:
@@ -180,7 +181,7 @@ class TpuDecoder:
     def _empty_frontier(self):
         K, S = self.K, self.S
         dt = self._dt
-        return {
+        fr = {
             # arc = n_arcs+1 is the dead-slot sentinel (sorts last)
             "arc": jnp.full((K,), self.n_arcs + 1, jnp.int32),
             "score": jnp.full((K, S), NEG, dt),
@@ -188,15 +189,22 @@ class TpuDecoder:
             "lm": jnp.full((K, S), NEG, dt),
             "path": jnp.full((K, S), -1, jnp.int32),
         }
+        if self.cfg.gen_lattice:
+            # per-TOKEN lattice event id (the entry event whose occupancy the
+            # token represents), carried like `path`; -1 = utterance start
+            fr["lat"] = jnp.full((K, S), -1, jnp.int32)
+        return fr
 
     # ------------------------------------------------------------------
     # expansion
     # ------------------------------------------------------------------
 
-    def _expand(self, src_score, src_ac, src_lm, src_path, base, fan, live):
+    def _expand(self, src_score, src_ac, src_lm, src_path, base, fan, live,
+                extra=()):
         """Fixed-budget expansion of exiting tokens through the closure
         tables. src_* are (K,) token fields; base/fan index the packed
-        entry table rows for each source."""
+        entry table rows for each source. `extra` (K,) fields are broadcast
+        to candidates and returned under cand["extra"]."""
         dev = self.dev
         dt = self._dt
         K, E = src_score.shape[0], self.E
@@ -217,7 +225,8 @@ class TpuDecoder:
                 base.astype(dt),
                 fan.astype(dt),
                 offs.astype(dt),
-            ],
+            ]
+            + [x.astype(dt) for x in extra],
             axis=1,
         )
         rows, filled = _segment_broadcast(src_pack, offs, fan > 0, E)
@@ -238,11 +247,14 @@ class TpuDecoder:
         return dict(
             arc=cand_arc, score=cand_score, ac=cand_ac, lm=cand_lm,
             prev=s_path, seq=cand_seq, valid=valid & (cand_score > NEG / 2),
-            overflow=total > E,
+            overflow=total > E, extra=rows[:, 7:],
         )
 
-    def _expand_finals(self, src_score, src_ac, src_lm, src_path, base, fan, live, best):
-        """Final-state candidates (bestFinalToken updates)."""
+    def _expand_finals(self, src_score, src_ac, src_lm, src_path, base, fan, live,
+                       best, extra=()):
+        """Final-state candidates (bestFinalToken updates). Returns
+        (best, overflow, records) — records carry all valid final
+        candidates for lattice final-state registration."""
         dev = self.dev
         dt = self._dt
         K, F = src_score.shape[0], self.F
@@ -259,7 +271,8 @@ class TpuDecoder:
                 base.astype(dt),
                 fan.astype(dt),
                 offs.astype(dt),
-            ],
+            ]
+            + [x.astype(dt) for x in extra],
             axis=1,
         )
         rows, filled = _segment_broadcast(src_pack, offs, fan > 0, F)
@@ -279,7 +292,15 @@ class TpuDecoder:
             "path": jnp.where(better, rows[i, 3].astype(jnp.int32), best["path"]),
             "seq": jnp.where(better, frow[i, 3].astype(jnp.int32), best["seq"]),
         }
-        return new, total > F
+        records = {
+            "score": sc,
+            "ac": rows[:, 1] + frow[:, 2],
+            "lm": rows[:, 2] + frow[:, 1],
+            "seq": frow[:, 3].astype(jnp.int32),
+            "valid": valid,
+            "extra": rows[:, 7:],
+        }
+        return new, total > F, records
 
     # ------------------------------------------------------------------
     # recombination + insertion
@@ -303,17 +324,19 @@ class TpuDecoder:
         key = jnp.where(live, fr["arc"], dead)
         # lax.sort sorts along the last axis of each operand; pass the (K, S)
         # payloads as S separate (K,) operands
+        lat = self.cfg.gen_lattice
+        names = ("score", "ac", "lm", "path") + (("lat",) if lat else ())
+        fills = {"score": NEG, "ac": NEG, "lm": NEG, "path": -1, "lat": -1}
         ops = [key]
-        for name in ("score", "ac", "lm", "path"):
+        for name in names:
             for j in range(S):
                 ops.append(fr[name][:, j])
         sorted_ops = jax.lax.sort(tuple(ops), num_keys=1)
         key_s = sorted_ops[0]
         idx = 1
         fr2 = {"arc": jnp.where(key_s >= dead, dead, key_s)}
-        for name, fill, dtt in (
-            ("score", NEG, dt), ("ac", NEG, dt), ("lm", NEG, dt), ("path", -1, jnp.int32)
-        ):
+        for name in names:
+            fill = fills[name]
             cols = []
             for j in range(S):
                 c = sorted_ops[idx]
@@ -420,6 +443,14 @@ class TpuDecoder:
 
         best_new = jnp.max(jnp.where(w_ok, g_score, NEG))
         fr_new = {"arc": arc_new, "score": score, "ac": ac, "lm": lm, "path": path}
+        if lat:
+            # the landing slot becomes a new lattice event; its id is the
+            # same (t*K + slot) encoding used for path records
+            ev_id = (t * K + jnp.arange(K, dtype=jnp.int32)).astype(jnp.int32)
+            fr_new["lat"] = fr["lat"].at[:, 0].set(jnp.where(got, ev_id, -1))
+            rec["ev_arc"] = jnp.where(got, arc_new, -1)
+            rec["ev_ac"] = landed[:, 2]
+            rec["ev_lm"] = landed[:, 3]
         return fr_new, rec, best_new, overflow
 
     # ------------------------------------------------------------------
@@ -490,6 +521,9 @@ class TpuDecoder:
         e_ac = jnp.where(pass_emit, new_ac + outp, NEG)
         e_lm = jnp.where(pass_emit, new_lm, NEG)
         e_path = jnp.where(pass_emit, new_path, -1)
+        if cfg.gen_lattice:
+            new_lat = jnp.sum(oh * fr["lat"][:, :, None], axis=1, dtype=jnp.int32)
+            lat2 = jnp.where(emitting & pass_emit, new_lat, -1)
 
         best_emit = jnp.max(jnp.where(pass_emit, e_score, NEG))
         if cfg.max_emit_hyps > 0:
@@ -520,7 +554,13 @@ class TpuDecoder:
         )
         best_end = jnp.max(exit_score)
 
-        fr = {"arc": fr["arc"], "score": score2, "ac": ac2, "lm": lm2, "path": path2}
+        fr2 = {"arc": fr["arc"], "score": score2, "ac": ac2, "lm": lm2, "path": path2}
+        if cfg.gen_lattice:
+            fr2["lat"] = lat2
+            exit_lat = jnp.where(
+                exit_ok, jnp.sum(ohj * lat2, axis=1, dtype=jnp.int32), -1
+            )
+        fr = fr2
 
         # ---- external propagation ----------------------------------------
         end_thresh = (
@@ -540,12 +580,15 @@ class TpuDecoder:
         ent_fan = meta[:, 3].astype(jnp.int32)
         f_base = meta[:, 4].astype(jnp.int32)
         f_fan = meta[:, 5].astype(jnp.int32)
+        lat = self.cfg.gen_lattice
+        extra = (exit_lat,) if lat else ()
         cand = self._expand(
-            exit_score, exit_ac, exit_lm, exit_path, ent_base, ent_fan, live_exit
+            exit_score, exit_ac, exit_lm, exit_path, ent_base, ent_fan, live_exit,
+            extra=extra,
         )
-        best_final, f_overflow = self._expand_finals(
+        best_final, f_overflow, frecs = self._expand_finals(
             exit_score, exit_ac, exit_lm, exit_path, f_base, f_fan, live_exit,
-            carry_best_zero(dt),
+            carry_best_zero(dt), extra=extra,
         )
 
         fr, rec, best_entry, m_overflow = self._merge_and_insert(fr, cand, t)
@@ -568,6 +611,27 @@ class TpuDecoder:
             "rec_ac": rec["ac"],
             "rec_lm": rec["lm"],
         }
+        if lat:
+            # lattice edges: every valid candidate (winner or not) is a
+            # lattice transition, from the exiting token's entry EVENT to
+            # the (frame, target-arc) event — the analogue of
+            # addLatticeEntry on every extendModelEndState call
+            # (`WFSTDecoder.cpp:803-1040`, `WFSTLattice.cpp:160-240`).
+            # Scores are cumulative; the host subtracts per-event cums.
+            ys["lat_from_ev"] = cand["extra"][:, 0].astype(jnp.int32)
+            ys["lat_to_arc"] = cand["arc"]
+            ys["lat_ac"] = cand["ac"]
+            ys["lat_lm"] = cand["lm"]
+            ys["lat_seq"] = cand["seq"]
+            ys["lat_valid"] = cand["valid"]
+            ys["flat_from_ev"] = frecs["extra"][:, 0].astype(jnp.int32)
+            ys["flat_ac"] = frecs["ac"]
+            ys["flat_lm"] = frecs["lm"]
+            ys["flat_seq"] = frecs["seq"]
+            ys["flat_valid"] = frecs["valid"]
+            ys["ev_arc"] = rec["ev_arc"]
+            ys["ev_ac"] = rec["ev_ac"]
+            ys["ev_lm"] = rec["ev_lm"]
         return carry_new, ys
 
     # ------------------------------------------------------------------
@@ -589,11 +653,22 @@ class TpuDecoder:
         fan = jnp.full((K,), meta0[3], self._dt).astype(jnp.int32)
         fb = jnp.full((K,), meta0[4], self._dt).astype(jnp.int32)
         ff = jnp.full((K,), meta0[5], self._dt).astype(jnp.int32)
-        cand = self._expand(src_score, src_zero, src_zero, src_path, base, fan, live)
-        best_final, f_ov = self._expand_finals(
-            src_score, src_zero, src_zero, src_path, fb, ff, live, carry_best_zero(dt)
+        lat = self.cfg.gen_lattice
+        extra = ((jnp.full((K,), -1, jnp.int32),) if lat else ())
+        cand = self._expand(src_score, src_zero, src_zero, src_path, base, fan, live,
+                            extra=extra)
+        best_final, f_ov, _frecs = self._expand_finals(
+            src_score, src_zero, src_zero, src_path, fb, ff, live,
+            carry_best_zero(dt), extra=extra,
         )
         fr, rec0, best_entry, m_ov = self._merge_and_insert(fr, cand, -1)
+        if lat:
+            rec0["lat_from_ev"] = cand["extra"][:, 0].astype(jnp.int32)
+            rec0["lat_to_arc"] = cand["arc"]
+            rec0["lat_ac"] = cand["ac"]
+            rec0["lat_lm"] = cand["lm"]
+            rec0["lat_seq"] = cand["seq"]
+            rec0["lat_valid"] = cand["valid"]
         carry = {
             "fr": fr,
             "best_emit": jnp.asarray(NEG, dt),
@@ -611,6 +686,22 @@ class TpuDecoder:
         carry, ys = jax.lax.scan(self._frame_step, carry, frame_in)
         return carry, ys, rec0
 
+    def _chunk_scan(self, carry, gmm_scores, t0):
+        """Continue decoding over one chunk of frames (streaming mode)."""
+        T = gmm_scores.shape[0]
+        frame_in = {
+            "gmm": gmm_scores,
+            "t": t0 + jnp.arange(T, dtype=jnp.int32),
+        }
+        return jax.lax.scan(self._frame_step, carry, frame_in)
+
+    def stream(self) -> "StreamingDecoder":
+        """Streaming session: feed score chunks, get converged partial words
+        (the PARTIAL_DECODING equivalent, `WFSTDecoderLite.cpp:822-896`)."""
+        from .stream import StreamingDecoder
+
+        return StreamingDecoder(self)
+
     def decode_scores(self, gmm_scores: np.ndarray) -> DecodeResult:
         """Decode from a precomputed (T, n_gmms) log-likelihood matrix."""
         gmm_scores = jnp.asarray(gmm_scores, dtype=self._dt)
@@ -620,6 +711,20 @@ class TpuDecoder:
     def decode_features(self, features: np.ndarray, scorer) -> DecodeResult:
         """Decode raw features with a (T, D) -> (T, n_gmms) scorer."""
         return self.decode_scores(np.asarray(scorer(jnp.asarray(features))))
+
+    def decode_scores_lattice(self, gmm_scores: np.ndarray):
+        """Decode and also assemble the word lattice (requires
+        config.gen_lattice). Returns (DecodeResult, lattice Fst)."""
+        if not self.cfg.gen_lattice:
+            raise ValueError("decoder built without gen_lattice=True")
+        from .lattice import build_lattice
+
+        gmm_scores = jnp.asarray(gmm_scores, dtype=self._dt)
+        carry, ys, rec0 = self._decode_jit(gmm_scores)
+        T = int(gmm_scores.shape[0])
+        res = self._traceback(carry, ys, rec0, T)
+        lattice = build_lattice(self.art, ys, rec0, T)
+        return res, lattice
 
     # ------------------------------------------------------------------
     # traceback (host)

@@ -101,6 +101,7 @@ class BatchTester:
         feature_kind: str = "htk",  # htk | lna | raw(npy)
         lna_outputs: int = 0,
         frame_time_offset_ns: int = 0,
+        lattice_dir: Optional[str] = None,
     ):
         self.decode_fn = decode_fn
         self.word_names = word_names
@@ -113,6 +114,7 @@ class BatchTester:
         self.feature_kind = feature_kind
         self.lna_outputs = lna_outputs
         self.frame_time_offset_ns = frame_time_offset_ns
+        self.lattice_dir = lattice_dir
         self.results: list[UtteranceResult] = []
         self.decode_time = 0.0
         self.speech_time = 0.0
@@ -202,6 +204,16 @@ class BatchTester:
                 t0 = time.perf_counter()
                 res = self.decode_fn(feats)
                 dt = time.perf_counter() - t0
+                if isinstance(res, tuple):
+                    res, lattice = res
+                    if self.lattice_dir is not None and lattice is not None:
+                        from ..fst import write_fsm
+
+                        os.makedirs(self.lattice_dir, exist_ok=True)
+                        write_fsm(
+                            lattice,
+                            os.path.join(self.lattice_dir, f"{spec.name}.lat.fsm"),
+                        )
                 self.decode_time += dt
                 self.speech_time += res.n_frames / self.frames_per_sec
                 ur = self._to_result(spec, res, dt)
