@@ -24,6 +24,9 @@ def _load(prefix_fsm):
 def make_parser():
     p = argparse.ArgumentParser(prog="jtpu-build-wfst", description=__doc__)
     p.add_argument("-of", action="store_true", help="optimise final transducer")
+    p.add_argument("-cl", action="store_true",
+                   help="build cl.fsm (C ∘ closure(L)) for on-the-fly composition "
+                        "against a separate G")
     p.add_argument("gram_fsm")
     p.add_argument("lex_fsm")
     p.add_argument("cd_fsm")
@@ -37,6 +40,18 @@ def main(argv=None):
     L = _load(args.lex_fsm)
     C = _load(args.cd_fsm)
     out_dir = args.outDir or os.path.dirname(os.path.abspath(args.gram_fsm))
+    if args.cl:
+        from ..fst import algos
+
+        cl = algos.compose(C, algos.closure(algos.arcsort(L)))
+        write_fsm(cl, os.path.join(out_dir, "cl.fsm"))
+        write_symbols(C.isyms, os.path.join(out_dir, "cl.insyms"))
+        write_symbols(L.osyms, os.path.join(out_dir, "cl.outsyms"))
+        print(
+            f"build-wfst: CL {cl.num_states} states, {cl.num_arcs} arcs "
+            f"-> {os.path.join(out_dir, 'cl.fsm')}"
+        )
+        return 0
     result = build_clg(G, L, C, optimize_final=args.of)
     write_fsm(result.lg, os.path.join(out_dir, "lg.fsm"))
     write_fsm(result.clg, os.path.join(out_dir, "final.fsm"))

@@ -55,6 +55,12 @@ def make_parser():
     p.add_argument("-writeBinaryFiles", action="store_true")
     p.add_argument("-logFName", default=None)
     p.add_argument("-latticeDir", default=None, help="write per-utterance lattices here")
+    # on-the-fly composition: give the G transducer separately and pass the
+    # CL transducer as -fsmFName (reference: OTF core selected when a
+    # grammar FSM is supplied, `juicer.cpp:594-602`)
+    p.add_argument("-gramFsmFName", default=None)
+    p.add_argument("-gramInSymsFName", default=None)
+    p.add_argument("-gramOutSymsFName", default=None)
     return p
 
 
@@ -116,17 +122,35 @@ def main(argv=None):
     vocab = Vocabulary(args.lexFName, "!", args.sentStartWord, args.sentEndWord)
     models = load_models(args)
 
+    otf = args.gramFsmFName is not None
     cache = args.fsmFName + ".npz"
-    if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(args.fsmFName):
+    if not otf and os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(
+        args.fsmFName
+    ):
         net = DecoderNetwork.load_npz(cache)
     else:
         net = DecoderNetwork.from_files(
             args.fsmFName, args.inSymsFName, args.outSymsFName,
             lm_scale=args.lmScaleFactor, ins_pen=args.insPenalty,
+            remove_aux="input" if otf else "both",
         )
-        if args.writeBinaryFiles:
+        if args.writeBinaryFiles and not otf:
             net.save_npz(cache)
     check_consistency(net, models, vocab)
+
+    g_net = None
+    if otf:
+        from ..fst import read_fsm
+        from ..decoder.otf import GNetwork
+
+        g_fst = read_fsm(args.gramFsmFName)
+        phi = -1
+        if args.gramInSymsFName:
+            from ..fst import read_symbols
+
+            gsyms = read_symbols(args.gramInSymsFName)
+            phi = gsyms.find("#phi")
+        g_net = GNetwork(g_fst, lm_scale=args.lmScaleFactor, phi_label=phi)
 
     if models.hybrid_mode:
         import jax.numpy as jnp
@@ -141,14 +165,26 @@ def main(argv=None):
         scorer = make_gmm_scorer(models.flat_params())
 
     if args.refCore:
-        ref = RefDecoder(
-            net, models,
-            phone_start_prune_win=args.phoneStartBeam,
-            emit_prune_win=args.mainBeam,
-            phone_end_prune_win=args.phoneEndBeam,
-            word_prune_win=args.wordEmitBeam,
-            max_emit_hyps=args.maxHyps,
-        )
+        if otf:
+            from ..decoder.otf import RefOtfDecoder
+
+            ref = RefOtfDecoder(
+                net, g_net, models,
+                phone_start_prune_win=args.phoneStartBeam,
+                emit_prune_win=args.mainBeam,
+                phone_end_prune_win=args.phoneEndBeam,
+                word_prune_win=args.wordEmitBeam,
+                max_emit_hyps=args.maxHyps,
+            )
+        else:
+            ref = RefDecoder(
+                net, models,
+                phone_start_prune_win=args.phoneStartBeam,
+                emit_prune_win=args.mainBeam,
+                phone_end_prune_win=args.phoneEndBeam,
+                word_prune_win=args.wordEmitBeam,
+                max_emit_hyps=args.maxHyps,
+            )
 
         def decode_fn(feats):
             sc = np.asarray(scorer(feats)) if not models.hybrid_mode else scorer(feats)
@@ -167,6 +203,7 @@ def main(argv=None):
                 max_emit_hyps=args.maxHyps,
                 gen_lattice=args.latticeDir is not None,
             ),
+            g_network=g_net,
         )
 
         def decode_fn(feats):

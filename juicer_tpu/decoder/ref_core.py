@@ -57,7 +57,8 @@ NULL_TOKEN = Token()
 
 
 class _Inst:
-    __slots__ = ("arc", "hmm", "n_states", "states", "tee", "n_active")
+    # "g" is used by the on-the-fly composition subclass (decoder/otf.py)
+    __slots__ = ("arc", "hmm", "n_states", "states", "tee", "n_active", "g")
 
     def __init__(self, arc: int, hmm: int, n_states: int, tee: float):
         self.arc = arc

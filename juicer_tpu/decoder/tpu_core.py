@@ -83,11 +83,25 @@ class TpuDecoderConfig:
 
 
 class TpuDecoder:
-    def __init__(self, artifact: DecoderArtifact, config: Optional[TpuDecoderConfig] = None):
+    """Static-network decoder; pass `g_network` for on-the-fly composition
+    (frontier keyed by (CL arc, G state) pairs, word labels intersected
+    with the sorted G during expansion — the `WFSTOnTheFlyDecoder`
+    equivalent)."""
+
+    def __init__(
+        self,
+        artifact: DecoderArtifact,
+        config: Optional[TpuDecoderConfig] = None,
+        g_network=None,
+    ):
         self.art = artifact
         self.cfg = config or TpuDecoderConfig()
+        self.g = g_network
+        self.otf = g_network is not None
         cfg = self.cfg
         dt = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+        if self.otf and cfg.gen_lattice:
+            raise NotImplementedError("lattice generation in OTF mode not yet supported")
 
         self._dt = dt
 
@@ -166,6 +180,30 @@ class TpuDecoder:
             "ent_pack": jnp.asarray(ent_pack, dtype=dt),  # (n_ent, 5)
             "f_pack": jnp.asarray(f_pack, dtype=dt),  # (n_fent, 4)
         }
+
+        if self.otf:
+            g = self.g
+            # padded per-seq word arrays for G intersection
+            Lmax = max((len(s) for s in artifact.seqs), default=1)
+            self.seq_len = max(Lmax, 1)
+            seq_words = np.zeros((len(artifact.seqs), self.seq_len), np.int32)
+            for i, s in enumerate(artifact.seqs):
+                seq_words[i, : len(s)] = s
+            self.nG = g.n_states
+            self.dev.update(
+                {
+                    "seq_words": jnp.asarray(seq_words),
+                    "g_row_ptr": jnp.asarray(g.row_ptr, dtype=jnp.int32),
+                    "g_il": jnp.asarray(g.arc_il),
+                    "g_dst": jnp.asarray(g.arc_dst),
+                    "g_w": jnp.asarray(g.arc_w, dtype=dt),
+                    "g_bo_dst": jnp.asarray(g.bo_dst),
+                    "g_bo_w": jnp.asarray(g.bo_w, dtype=dt),
+                    "g_freach": jnp.asarray(g.final_reach, dtype=dt),
+                }
+            )
+            self._g_maxrow = int(np.max(np.diff(g.row_ptr), initial=1))
+            self._g_maxbo = g.max_backoff
         self._decode_jit = jax.jit(self._decode_scan)
 
     # ------------------------------------------------------------------
@@ -178,6 +216,62 @@ class TpuDecoder:
         return jnp.dot(oh, table, preferred_element_type=self._dt,
                        precision=jax.lax.Precision.HIGHEST)
 
+    def _g_advance(self, g, words_valid, word):
+        """Vectorized G advance: consume `word` from state `g` via
+        match-or-backoff (bounded unrolled binary search). Inputs (N,);
+        returns (g', weight_delta, ok)."""
+        dev = self.dev
+        dt = self._dt
+        N = g.shape[0]
+        bits = max(1, int(np.ceil(np.log2(self._g_maxrow + 1))))
+        gw = jnp.zeros((N,), dt)
+        ok = jnp.ones((N,), bool)
+        done = ~words_valid  # nothing to consume
+        cur = jnp.maximum(g, 0)
+        for _ in range(self._g_maxbo + 1):
+            lo = dev["g_row_ptr"][cur]
+            n = dev["g_row_ptr"][cur + 1] - lo
+            # lower_bound meta binary search
+            pos = jnp.zeros((N,), jnp.int32)
+            for b in reversed(range(bits)):
+                cand = pos + (1 << b)
+                idx = jnp.clip(lo + cand - 1, 0, dev["g_il"].shape[0] - 1)
+                take = (cand <= n) & (dev["g_il"][idx] < word)
+                pos = jnp.where(take, cand, pos)
+            idx = jnp.clip(lo + pos, 0, dev["g_il"].shape[0] - 1)
+            hit = ~done & (pos < n) & (dev["g_il"][idx] == word)
+            # on hit: move to dst, add weight, finished
+            cur = jnp.where(hit, dev["g_dst"][idx], cur)
+            gw = jnp.where(hit, gw + dev["g_w"][idx], gw)
+            done = done | hit
+            # else: back off if possible
+            bo = dev["g_bo_dst"][cur]
+            can_bo = ~done & (bo >= 0)
+            gw = jnp.where(can_bo, gw + dev["g_bo_w"][cur], gw)
+            dead = ~done & ~can_bo
+            ok = ok & ~dead
+            done = done | dead
+            cur = jnp.where(can_bo, bo, cur)
+        ok = ok & done
+        return cur, gw, ok | ~words_valid
+
+    def _g_advance_seq(self, g, seq_ids):
+        """Consume a whole label sequence (seq table row) from G."""
+        dev = self.dev
+        dt = self._dt
+        words = dev["seq_words"][seq_ids]  # (N, L)
+        cur = g
+        total = jnp.zeros(g.shape, dt)
+        ok = jnp.ones(g.shape, bool)
+        for li in range(self.seq_len):
+            w = words[:, li]
+            cur, gw, step_ok = self._g_advance(cur, w != 0, w)
+            # only apply when the word slot is used
+            used = w != 0
+            total = jnp.where(used, total + gw, total)
+            ok = ok & jnp.where(used, step_ok, True)
+        return cur, total, ok
+
     def _empty_frontier(self):
         K, S = self.K, self.S
         dt = self._dt
@@ -189,6 +283,8 @@ class TpuDecoder:
             "lm": jnp.full((K, S), NEG, dt),
             "path": jnp.full((K, S), -1, jnp.int32),
         }
+        if self.otf:
+            fr["g"] = jnp.zeros((K,), jnp.int32)
         if self.cfg.gen_lattice:
             # per-TOKEN lattice event id (the entry event whose occupancy the
             # token represents), carried like `path`; -1 = utterance start
@@ -296,6 +392,7 @@ class TpuDecoder:
             "score": sc,
             "ac": rows[:, 1] + frow[:, 2],
             "lm": rows[:, 2] + frow[:, 1],
+            "path": rows[:, 3].astype(jnp.int32),
             "seq": frow[:, 3].astype(jnp.int32),
             "valid": valid,
             "extra": rows[:, 7:],
@@ -323,18 +420,23 @@ class TpuDecoder:
         # pass, payload carried through the sort
         key = jnp.where(live, fr["arc"], dead)
         # lax.sort sorts along the last axis of each operand; pass the (K, S)
-        # payloads as S separate (K,) operands
+        # payloads as S separate (K,) operands. In OTF mode the slot key is
+        # the PAIR (arc, G state) and every sort gets g as a secondary key.
+        otf = self.otf
         lat = self.cfg.gen_lattice
         names = ("score", "ac", "lm", "path") + (("lat",) if lat else ())
         fills = {"score": NEG, "ac": NEG, "lm": NEG, "path": -1, "lat": -1}
-        ops = [key]
+        ops = [key] + ([fr["g"]] if otf else [])
         for name in names:
             for j in range(S):
                 ops.append(fr[name][:, j])
-        sorted_ops = jax.lax.sort(tuple(ops), num_keys=1)
+        sorted_ops = jax.lax.sort(tuple(ops), num_keys=2 if otf else 1)
         key_s = sorted_ops[0]
         idx = 1
         fr2 = {"arc": jnp.where(key_s >= dead, dead, key_s)}
+        if otf:
+            fr2["g"] = jnp.where(key_s >= dead, 0, sorted_ops[1])
+            idx = 2
         for name in names:
             fill = fills[name]
             cols = []
@@ -346,17 +448,32 @@ class TpuDecoder:
         fr = fr2
         n_live = jnp.sum((key_s < dead).astype(jnp.int32))
 
-        # sort candidates by (arc asc, score desc, index asc), payload
+        # sort candidates by (arc [,g] asc, score desc, index asc), payload
         # carried through the sort
         e_ids = jnp.arange(self.E, dtype=jnp.int32)
         sort_arc = jnp.where(cand["valid"], cand["arc"], dead)
         sort_score = jnp.where(cand["valid"], -cand["score"], jnp.asarray(-NEG, dt))
-        (c_arc, c_negscore, _ids, c_ac, c_lm, c_prev, c_seq) = jax.lax.sort(
-            (sort_arc, sort_score, e_ids, cand["ac"], cand["lm"], cand["prev"],
-             cand["seq"]),
-            num_keys=3,
-        )
-        run_first = jnp.concatenate([jnp.ones((1,), bool), c_arc[1:] != c_arc[:-1]])
+        if otf:
+            cg = jnp.where(cand["valid"], cand["g"], 0)
+            (c_arc, c_g, c_negscore, _ids, c_ac, c_lm, c_prev, c_seq) = jax.lax.sort(
+                (sort_arc, cg, sort_score, e_ids, cand["ac"], cand["lm"],
+                 cand["prev"], cand["seq"]),
+                num_keys=4,
+            )
+            run_first = jnp.concatenate(
+                [jnp.ones((1,), bool),
+                 (c_arc[1:] != c_arc[:-1]) | (c_g[1:] != c_g[:-1])]
+            )
+        else:
+            (c_arc, c_negscore, _ids, c_ac, c_lm, c_prev, c_seq) = jax.lax.sort(
+                (sort_arc, sort_score, e_ids, cand["ac"], cand["lm"], cand["prev"],
+                 cand["seq"]),
+                num_keys=3,
+            )
+            c_g = None
+            run_first = jnp.concatenate(
+                [jnp.ones((1,), bool), c_arc[1:] != c_arc[:-1]]
+            )
         winner = run_first & (c_arc < dead)
         w_score = jnp.where(winner, -c_negscore, NEG)
 
@@ -368,25 +485,33 @@ class TpuDecoder:
         # from prefix sums, and one packed unique-index row scatter lands
         # everything in K space.
         Z = jnp.zeros((K,), dt)
+        ZI = jnp.zeros((K,), jnp.int32)
         comb_key = jnp.concatenate([fr["arc"], jnp.where(winner, c_arc, dead)])
         comb_kind = jnp.concatenate(
             [jnp.zeros((K,), jnp.int32), jnp.ones((self.E,), jnp.int32)]
         )
-        (ck, ckind, g_score, g_ac, g_lm, g_prev, g_seq) = jax.lax.sort(
-            (
-                comb_key,
-                comb_kind,
-                jnp.concatenate([Z, w_score]),
-                jnp.concatenate([Z, c_ac]),
-                jnp.concatenate([Z, c_lm]),
-                jnp.concatenate([jnp.zeros((K,), jnp.int32), c_prev]),
-                jnp.concatenate([jnp.zeros((K,), jnp.int32), c_seq]),
-            ),
-            num_keys=2,
-        )
+        comb_ops = [comb_key]
+        if otf:
+            comb_ops.append(jnp.concatenate([fr["g"], c_g]))
+        comb_ops += [
+            comb_kind,
+            jnp.concatenate([Z, w_score]),
+            jnp.concatenate([Z, c_ac]),
+            jnp.concatenate([Z, c_lm]),
+            jnp.concatenate([ZI, c_prev]),
+            jnp.concatenate([ZI, c_seq]),
+        ]
+        sorted_comb = jax.lax.sort(tuple(comb_ops), num_keys=3 if otf else 2)
+        if otf:
+            (ck, cgk, ckind, g_score, g_ac, g_lm, g_prev, g_seq) = sorted_comb
+            same_key = (ck[1:] == ck[:-1]) & (cgk[1:] == cgk[:-1])
+        else:
+            (ck, ckind, g_score, g_ac, g_lm, g_prev, g_seq) = sorted_comb
+            cgk = None
+            same_key = ck[1:] == ck[:-1]
         is_cand = ckind == 1
         prev_same_frontier = jnp.concatenate(
-            [jnp.zeros((1,), bool), (ck[1:] == ck[:-1]) & (ckind[:-1] == 0)]
+            [jnp.zeros((1,), bool), same_key & (ckind[:-1] == 0)]
         )
         winner_c = is_cand & (ck < dead)
         ccount = jnp.cumsum(ckind) - ckind  # candidates strictly before
@@ -405,22 +530,22 @@ class TpuDecoder:
         entry_path = jnp.where(has_seq, rec_id, g_prev)
 
         # packed row scatter: [arc, score, ac, lm, entry_path, prev, seq,
-        # has_seq, got]
-        payload = jnp.stack(
-            [
-                ck.astype(dt),
-                g_score,
-                g_ac,
-                g_lm,
-                entry_path.astype(dt),
-                g_prev.astype(dt),
-                g_seq.astype(dt),
-                has_seq.astype(dt),
-                jnp.ones((K + self.E,), dt),
-            ],
-            axis=1,
-        )
-        landed = jnp.zeros((K, 9), dt)
+        # has_seq, got (, g)]
+        cols = [
+            ck.astype(dt),
+            g_score,
+            g_ac,
+            g_lm,
+            entry_path.astype(dt),
+            g_prev.astype(dt),
+            g_seq.astype(dt),
+            has_seq.astype(dt),
+            jnp.ones((K + self.E,), dt),
+        ]
+        if otf:
+            cols.append(cgk.astype(dt))
+        payload = jnp.stack(cols, axis=1)
+        landed = jnp.zeros((K, len(cols)), dt)
         landed = landed.at[slot_w].set(payload, mode="drop", unique_indices=True)
         got = landed[:, 8] > 0.5
 
@@ -443,6 +568,8 @@ class TpuDecoder:
 
         best_new = jnp.max(jnp.where(w_ok, g_score, NEG))
         fr_new = {"arc": arc_new, "score": score, "ac": ac, "lm": lm, "path": path}
+        if otf:
+            fr_new["g"] = jnp.where(got, landed[:, 9].astype(jnp.int32), fr["g"])
         if lat:
             # the landing slot becomes a new lattice event; its id is the
             # same (t*K + slot) encoding used for path records
@@ -560,6 +687,8 @@ class TpuDecoder:
             exit_lat = jnp.where(
                 exit_ok, jnp.sum(ohj * lat2, axis=1, dtype=jnp.int32), -1
             )
+        if self.otf:
+            fr2["g"] = fr["g"]
         fr = fr2
 
         # ---- external propagation ----------------------------------------
@@ -581,7 +710,7 @@ class TpuDecoder:
         f_base = meta[:, 4].astype(jnp.int32)
         f_fan = meta[:, 5].astype(jnp.int32)
         lat = self.cfg.gen_lattice
-        extra = (exit_lat,) if lat else ()
+        extra = (exit_lat,) if lat else ((fr["g"],) if self.otf else ())
         cand = self._expand(
             exit_score, exit_ac, exit_lm, exit_path, ent_base, ent_fan, live_exit,
             extra=extra,
@@ -590,6 +719,37 @@ class TpuDecoder:
             exit_score, exit_ac, exit_lm, exit_path, f_base, f_fan, live_exit,
             carry_best_zero(dt), extra=extra,
         )
+        if self.otf:
+            # intersect crossed word labels with G (match-or-backoff); the
+            # candidate key becomes the (arc, g') pair and the LM weight
+            # absorbs the G arc/backoff weights
+            g0 = cand["extra"][:, 0].astype(jnp.int32)
+            g2, gw, okg = self._g_advance_seq(g0, cand["seq"])
+            cand["g"] = g2
+            cand["score"] = jnp.where(okg, cand["score"] + gw, NEG)
+            cand["lm"] = cand["lm"] + gw
+            cand["valid"] = cand["valid"] & okg
+            # finals: consume the eps-path words, then reach a G final via
+            # backoff (getStatesOnEpsPath analogue, precomputed)
+            fg0 = frecs["extra"][:, 0].astype(jnp.int32)
+            fg2, fgw, fokg = self._g_advance_seq(fg0, frecs["seq"])
+            freach = dev["g_freach"][fg2]
+            fsc = jnp.where(
+                frecs["valid"] & fokg & (freach > NEG / 2),
+                frecs["score"] + fgw + freach,
+                NEG,
+            )
+            fi = jnp.argmax(fsc)
+            fbetter = fsc[fi] > NEG / 2
+            best_final = {
+                "score": jnp.where(fbetter, fsc[fi], NEG),
+                "ac": jnp.where(fbetter, frecs["ac"][fi], NEG),
+                "lm": jnp.where(
+                    fbetter, frecs["lm"][fi] + fgw[fi] + freach[fi], NEG
+                ),
+                "path": jnp.where(fbetter, frecs["path"][fi], -1),
+                "seq": jnp.where(fbetter, frecs["seq"][fi], 0),
+            }
 
         fr, rec, best_entry, m_overflow = self._merge_and_insert(fr, cand, t)
 
@@ -654,13 +814,26 @@ class TpuDecoder:
         fb = jnp.full((K,), meta0[4], self._dt).astype(jnp.int32)
         ff = jnp.full((K,), meta0[5], self._dt).astype(jnp.int32)
         lat = self.cfg.gen_lattice
-        extra = ((jnp.full((K,), -1, jnp.int32),) if lat else ())
+        if lat:
+            extra = (jnp.full((K,), -1, jnp.int32),)
+        elif self.otf:
+            extra = (jnp.full((K,), self.g.init_state, jnp.int32),)
+        else:
+            extra = ()
         cand = self._expand(src_score, src_zero, src_zero, src_path, base, fan, live,
                             extra=extra)
         best_final, f_ov, _frecs = self._expand_finals(
             src_score, src_zero, src_zero, src_path, fb, ff, live,
             carry_best_zero(dt), extra=extra,
         )
+        if self.otf:
+            g0 = cand["extra"][:, 0].astype(jnp.int32)
+            g2, gw, okg = self._g_advance_seq(g0, cand["seq"])
+            cand["g"] = g2
+            cand["score"] = jnp.where(okg, cand["score"] + gw, NEG)
+            cand["lm"] = cand["lm"] + gw
+            cand["valid"] = cand["valid"] & okg
+            best_final = carry_best_zero(dt)  # empty-utterance final unused
         fr, rec0, best_entry, m_ov = self._merge_and_insert(fr, cand, -1)
         if lat:
             rec0["lat_from_ev"] = cand["extra"][:, 0].astype(jnp.int32)
