@@ -93,7 +93,33 @@ class DecoderArtifact:
         self._state_entries: dict[int, list] = {}
         self._state_finals: dict[int, list] = {}
         self._max_entries = max_closure_entries_per_state
+        self._native = self._try_native_closure()
         self.expansion = self._build_expansion()
+
+    def _try_native_closure(self):
+        """Run the eps/tee closure in the native library (C++ DFS), the
+        host-side hot spot at WSJ scale. Returns the raw per-state tables
+        or None (pure-Python fallback in `_state_closure`)."""
+        try:
+            from ..native import closure as native_closure
+        except ImportError:
+            return None
+        net = self.net
+        hmm_arc_index = np.full(net.n_arcs, -1, dtype=np.int64)
+        hmm_arc_index[self.hmm_arc_ids] = np.arange(self.n_hmm_arcs)
+        # per-hmm tee table sized by the max ilabel
+        max_il = int(net.arc_ilabel.max(initial=0))
+        tee_tab = np.full(max(max_il, 1), LOG_ZERO, dtype=np.float64)
+        for h in range(min(self.models.n_hmms, max_il)):
+            tee_tab[h] = self.tee[h]
+        try:
+            return native_closure(
+                net.n_states, net.row_ptr, net.arc_dst, net.arc_ilabel,
+                net.arc_olabel, net.arc_weight, net.final_weight, tee_tab,
+                hmm_arc_index, self._max_entries,
+            )
+        except RuntimeError:
+            return None
 
     # -- label sequences ----------------------------------------------------
 
@@ -119,6 +145,40 @@ class DecoderArtifact:
         cached = self._state_entries.get(state)
         if cached is not None:
             return cached, self._state_finals[state]
+
+        if self._native is not None:
+            nt = self._native
+            lab = nt["labels"]
+            lo, hi = int(nt["ent_row_ptr"][state]), int(nt["ent_row_ptr"][state + 1])
+            entries = [
+                (
+                    int(nt["ent_arc"][i]),
+                    float(nt["ent_wlm"][i] + nt["ent_wac"][i]),
+                    float(nt["ent_wlm"][i]),
+                    float(nt["ent_wac"][i]),
+                    tuple(
+                        lab[nt["ent_seq_off"][i] : nt["ent_seq_off"][i]
+                            + nt["ent_seq_len"][i]].tolist()
+                    ),
+                )
+                for i in range(lo, hi)
+            ]
+            lo, hi = int(nt["fin_row_ptr"][state]), int(nt["fin_row_ptr"][state + 1])
+            finals = [
+                (
+                    float(nt["fin_wlm"][i] + nt["fin_wac"][i]),
+                    float(nt["fin_wlm"][i]),
+                    float(nt["fin_wac"][i]),
+                    tuple(
+                        lab[nt["fin_seq_off"][i] : nt["fin_seq_off"][i]
+                            + nt["fin_seq_len"][i]].tolist()
+                    ),
+                )
+                for i in range(lo, hi)
+            ]
+            self._state_entries[state] = entries
+            self._state_finals[state] = finals
+            return entries, finals
 
         net = self.net
         entries: list = []

@@ -21,9 +21,14 @@ def read_fsm(
     semiring: Semiring = LOG,
     isyms: Optional[SymbolTable] = None,
     osyms: Optional[SymbolTable] = None,
+    use_native: bool = True,
 ) -> Fst:
     close = False
     if isinstance(path_or_file, str):
+        if use_native:
+            f = _read_fsm_native(path_or_file, semiring, isyms, osyms)
+            if f is not None:
+                return f
         fd = open(path_or_file, "r")
         close = True
     else:
@@ -52,6 +57,34 @@ def read_fsm(
     finally:
         if close:
             fd.close()
+
+
+def _read_fsm_native(path: str, semiring, isyms, osyms) -> Optional[Fst]:
+    """Fast path: parse with the native library (native/jtpu_native.cpp)."""
+    try:
+        from ..native import parse_fsm
+    except ImportError:
+        return None
+    out = parse_fsm(path)
+    if out is None:
+        return None
+    src, dst, il, ol, w, fs, fw, init_state = out
+    f = Fst(semiring)
+    f.isyms, f.osyms = isyms, osyms
+    f.arc_src = src.tolist()
+    f.arc_dst = dst.tolist()
+    f.arc_ilabel = il.tolist()
+    f.arc_olabel = ol.tolist()
+    f.arc_weight = w.tolist()
+    n = 0
+    if len(src):
+        n = int(max(src.max(), dst.max())) + 1
+    if len(fs):
+        n = max(n, int(fs.max()) + 1)
+    f.num_states = n
+    f.start = init_state
+    f.finals = {int(s): float(x) for s, x in zip(fs, fw)}
+    return f
 
 
 def write_fsm(f: Fst, path_or_file: Union[str, TextIO]) -> None:
