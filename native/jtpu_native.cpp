@@ -75,12 +75,14 @@ FsmResult *jtpu_parse_fsm(const char *path) {
     src.reserve(1 << 20);
     int32_t init_state = -1, max_state = -1;
 
-    const char *p = buf;
-    const char *end = buf + size;
+    char *p = buf;
+    char *end = buf + size;
     while (p < end) {
-        // parse one line: up to 5 whitespace-separated fields
-        const char *line_end = (const char *)memchr(p, '\n', end - p);
+        // parse one line: up to 5 whitespace-separated fields. Terminate
+        // the line so strtol/strtod cannot run across newlines.
+        char *line_end = (char *)memchr(p, '\n', end - p);
         if (!line_end) line_end = end;
+        *line_end = '\0';
         bool ok1 = false, ok2 = false, ok3 = false, ok4 = false;
         const char *q = p;
         long a = parse_long(q, ok1);
