@@ -25,7 +25,7 @@ def main():
 
     from juicer_tpu.utils.synth import make_synth_task
     from juicer_tpu.decoder.tpu_core import TpuDecoder, TpuDecoderConfig
-    from juicer_tpu.ops.gmm import gmm_scores_dense
+    from juicer_tpu.ops.gmm import make_gmm_scorer
 
     if quick:
         n_words, n_phones, vec, B, T, iters = 30, 16, 20, 2, 100, 2
@@ -41,16 +41,21 @@ def main():
         task.artifact,
         TpuDecoderConfig(max_insts=K, expand_budget=E, final_budget=256),
     )
-    params = task.models.flat_params()
-    V, M, b = jnp.asarray(params.V), jnp.asarray(params.M), jnp.asarray(params.b)
-    mask = jnp.asarray(params.mask)
+    scorer = make_gmm_scorer(task.models.flat_params())
 
-    def one(features):
-        scores = gmm_scores_dense(features, V, M, b, mask)
+    def one(scores):
         carry, ys, rec0 = dec._decode_scan(scores.astype(dec._dt))
         return carry["best_final"]["score"]
 
-    step = jax.jit(jax.vmap(one))
+    decode_batch = jax.jit(jax.vmap(one))
+
+    @jax.jit
+    def step(features):
+        # score the whole batch flat (Pallas kernel), then decode per
+        # utterance
+        Bf, Tf, Df = features.shape
+        scores = scorer(features.reshape(Bf * Tf, Df))
+        return decode_batch(scores.reshape(Bf, Tf, -1))
 
     # synthesize a real utterance batch (random word sequences); a few
     # distinct utterances tiled to B keeps setup time low

@@ -57,9 +57,21 @@ def gmm_scores_dense(
     return jnp.where(m <= NEG_INF, NEG_INF, out)
 
 
-def make_gmm_scorer(params: FlatGmmParams):
+def make_gmm_scorer(params: FlatGmmParams, use_pallas: str = "auto"):
     """Returns a jitted (features (T,D)) -> (T, G) scorer with params closed
-    over as device constants."""
+    over as device constants.
+
+    use_pallas: "auto" uses the fused Pallas kernel on TPU backends (~20%
+    faster than the XLA-fused dense form), "never" forces the dense scorer,
+    "always" forces the kernel (interpreted off-TPU).
+    """
+    if use_pallas != "never":
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        if use_pallas == "always" or on_tpu:
+            from .gmm_pallas import make_pallas_gmm_scorer
+
+            return make_pallas_gmm_scorer(params, interpret=not on_tpu)
+
     V = jnp.asarray(params.V)
     M = jnp.asarray(params.M)
     b = jnp.asarray(params.b)
