@@ -55,6 +55,8 @@ def make_parser():
     p.add_argument("-writeBinaryFiles", action="store_true")
     p.add_argument("-logFName", default=None)
     p.add_argument("-latticeDir", default=None, help="write per-utterance lattices here")
+    p.add_argument("-modelLevelOutput", action="store_true",
+                   help="output model (phone) sequences instead of words")
     # on-the-fly composition: give the G transducer separately and pass the
     # CL transducer as -fsmFName (reference: OTF core selected when a
     # grammar FSM is supplied, `juicer.cpp:594-602`)
@@ -118,6 +120,13 @@ def main(argv=None):
     from ..decoder.artifact import DecoderArtifact
     from ..decoder.tpu_core import TpuDecoderConfig
     from ..harness.batch import BatchTester, OutputFormat
+    from ..utils.log import LogFile, get_env
+
+    if args.logFName:
+        LogFile.open(args.logFName)
+    # environment tunables (the Tracter GetEnv analogue)
+    args.maxInsts = get_env("MAX_INSTS", args.maxInsts)
+    args.expandBudget = get_env("EXPAND_BUDGET", args.expandBudget)
 
     vocab = Vocabulary(args.lexFName, "!", args.sentStartWord, args.sentEndWord)
     models = load_models(args)
@@ -201,20 +210,43 @@ def main(argv=None):
                 phone_end_prune_win=args.phoneEndBeam,
                 word_prune_win=args.wordEmitBeam,
                 max_emit_hyps=args.maxHyps,
-                gen_lattice=args.latticeDir is not None,
+                gen_lattice=args.latticeDir is not None or args.modelLevelOutput,
             ),
             g_network=g_net,
         )
 
         def decode_fn(feats):
             sc = np.asarray(scorer(feats)) if not models.hybrid_mode else scorer(feats)
-            if args.latticeDir is not None:
-                return dec.decode_scores_lattice(sc)
+            if args.latticeDir is not None or args.modelLevelOutput:
+                res, lattice = dec.decode_scores_lattice(sc)
+                if args.modelLevelOutput:
+                    # model-level (phone) output: the 1-best path's input
+                    # labels through the lattice are the entered models
+                    # (the basic core's -modelLevelOutput equivalent,
+                    # `juicer.cpp:607-622`)
+                    from ..fst import algos
+                    from ..decoder.ref_core import DecodeResult, WordHyp
+
+                    _, il, _ = algos.shortest_path(lattice)
+                    hyps = [WordHyp(m, -1, 0.0, 0.0, 0.0) for m in il]
+                    res = DecodeResult(
+                        words=il, word_hyps=hyps, score=res.score,
+                        acoustic_score=res.acoustic_score,
+                        lm_score=res.lm_score, n_frames=res.n_frames,
+                    )
+                if args.latticeDir is not None:
+                    return res, lattice
+                return res
             return dec.decode_scores(sc)
 
+    if args.modelLevelOutput and args.refCore:
+        raise SystemExit("juicer: -modelLevelOutput requires the TPU core")
+    out_names = vocab.words
+    if args.modelLevelOutput:
+        out_names = list(models.hmm_names)
     tester = BatchTester(
         decode_fn,
-        word_names=vocab.words,
+        word_names=out_names,
         output_format=OutputFormat(args.outputFormat),
         output_file=args.outputFName,
         frames_per_sec=args.framesPerSec,

@@ -305,7 +305,23 @@ class BatchTester:
                         f"{w.acoustic_score + w.lm_score:f}\n"
                     )
             out.write(".\n")
-        elif fmt == OutputFormat.VERBOSE:
+        else:
+            pass
+        # mirror results into the log with per-word times and score
+        # decomposition (`DecoderBatchTest.cpp:431-455`)
+        from ..utils.log import LogFile
+
+        LogFile.puts("\nRecognition result:\n\n")
+        for w in ur.words:
+            LogFile.printf(
+                "    %s  start=%d end=%d acousticScore=%.4f lmScore=%.4f\n",
+                wname(w.index), w.start_time, w.end_time,
+                w.acoustic_score, w.lm_score,
+            )
+        LogFile.printf(
+            "\ntotal scores: lm=%.3f ac=%.3f\n\n", ur.total_lm, ur.total_acoustic
+        )
+        if fmt == OutputFormat.VERBOSE:
             out.write(f"{ur.spec.path or ur.spec.name}\n")
             if ur.expected is not None:
                 out.write("\tExpected :  ")
