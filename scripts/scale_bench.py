@@ -1,0 +1,94 @@
+"""Scale validation: WSJ-order synthetic CLG through artifact + TPU decode.
+
+Builds a random CLG-shaped network directly (states/arcs/eps-with-words
+mimicking det(C∘det(L∘G)) statistics: the reference's WSJ 20k machine is
+1.32M states / 5.41M arcs, `BASELINE.md`), runs the offline artifact
+compilation (native closure), and measures beam-pruned decode throughput
+with histogram pruning and realistic frontier sizes.
+
+Usage: python scripts/scale_bench.py [n_arcs] [K] [E]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def build_big_network(n_arcs=1_000_000, n_models=2000, n_words=20000, seed=0):
+    from juicer_tpu.fst import Fst, LOG
+    from juicer_tpu.decoder.network import DecoderNetwork
+
+    rng = np.random.default_rng(seed)
+    n_states = max(4, n_arcs // 4)
+    src = rng.integers(0, n_states, n_arcs)
+    dst = rng.integers(0, n_states, n_arcs)
+    is_eps = rng.random(n_arcs) < 0.05
+    il = np.where(is_eps, 0, rng.integers(1, n_models + 1, n_arcs))
+    has_word = rng.random(n_arcs) < 0.12
+    ol = np.where(has_word, rng.integers(1, n_words + 1, n_arcs), 0)
+    w = rng.exponential(1.0, n_arcs)
+
+    f = Fst(LOG)
+    f.num_states = n_states
+    f.arc_src = src.tolist()
+    f.arc_dst = dst.tolist()
+    f.arc_ilabel = il.tolist()
+    f.arc_olabel = ol.tolist()
+    f.arc_weight = w.tolist()
+    f.start = 0
+    for s in rng.integers(0, n_states, 50):
+        f.set_final(int(s), 0.0)
+    return DecoderNetwork(f)
+
+
+def main():
+    import jax.numpy as jnp
+
+    n_arcs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    K = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+    E = int(sys.argv[3]) if len(sys.argv) > 3 else 32768
+
+    sys.path.insert(0, "tests")
+    from test_decoder import make_models
+    from juicer_tpu.decoder.artifact import DecoderArtifact
+    from juicer_tpu.decoder.tpu_core import TpuDecoder, TpuDecoderConfig
+
+    n_models = 2000
+    t0 = time.time()
+    net = build_big_network(n_arcs=n_arcs, n_models=n_models)
+    print(f"network: {net.n_states} states, {net.n_arcs} arcs ({time.time()-t0:.1f}s)")
+
+    t0 = time.time()
+    models = make_models(n_models, n_emit=3, dim=39, n_comps=8, seed=1)
+    print(f"models: {models.n_hmms} hmms, {models.n_gmms} gmms ({time.time()-t0:.1f}s)")
+
+    t0 = time.time()
+    art = DecoderArtifact(net, models)
+    print(f"artifact: {art} ({time.time()-t0:.1f}s, native={art._native is not None})")
+
+    t0 = time.time()
+    dec = TpuDecoder(
+        art,
+        TpuDecoderConfig(
+            max_insts=K, expand_budget=E, final_budget=1024,
+            emit_prune_win=150.0, phone_end_prune_win=120.0,
+            word_prune_win=120.0, max_emit_hyps=8000,
+        ),
+    )
+    print(f"decoder: K={dec.K} E={dec.E} ({time.time()-t0:.1f}s)")
+
+    T = 500
+    rng = np.random.default_rng(2)
+    scores = jnp.asarray(rng.normal(scale=3.0, size=(T, models.n_gmms)), jnp.float32)
+    t0 = time.time()
+    res = dec.decode_scores(scores)
+    print(f"decode compile+run: {time.time()-t0:.1f}s, {len(res.words)} words")
+    t0 = time.time()
+    res = dec.decode_scores(scores)
+    dt = time.time() - t0
+    print(f"decode steady: {dt:.2f}s = {T/dt:.0f} frames/s ({dt/T*1e3:.2f} ms/frame)")
+
+
+if __name__ == "__main__":
+    main()
