@@ -45,7 +45,8 @@ def make_parser():
     p.add_argument("-batchSize", type=int, default=1, help="utterances decoded per device batch")
     # input / output
     p.add_argument("-inputFName", required=True, help="list of feature files")
-    p.add_argument("-inputFormat", default="htk", choices=["htk", "lna", "npy"])
+    p.add_argument("-inputFormat", default="htk",
+                   choices=["htk", "lna", "npy", "factory"])
     p.add_argument("-framesPerSec", type=float, default=100.0)
     p.add_argument("-outputFName", default=None)
     p.add_argument("-outputFormat", default="verbose",

@@ -140,6 +140,11 @@ class BatchTester:
             feats = read_lna(spec.path, self.lna_outputs)
         elif self.feature_kind == "npy":
             feats = np.load(spec.path)
+        elif self.feature_kind == "factory":
+            # wav -> MFCC front end (the Tracter ASRFactory equivalent)
+            from .frontend import wav_to_features
+
+            feats = wav_to_features(spec.path)
         else:
             raise ValueError(f"unknown feature kind {self.feature_kind}")
         if spec.start_frame >= 0:
