@@ -262,7 +262,32 @@ def main(argv=None):
     refs = None
     if args.refFName:
         refs = BatchTester.read_references(args.refFName, specs, vocab.get_index)
-    tester.run(specs, refs)
+
+    batch_fn = None
+    if (
+        args.batchSize > 1
+        and not args.refCore
+        and args.latticeDir is None
+        and not args.modelLevelOutput
+    ):
+        from ..parallel import BatchDecoder
+
+        bd = BatchDecoder(dec)
+
+        def batch_fn(feats_list):
+            scs = [
+                np.asarray(scorer(f)) if not models.hybrid_mode else scorer(f)
+                for f in feats_list
+            ]
+            t_max = max(s.shape[0] for s in scs)
+            lengths = [s.shape[0] for s in scs]
+            padded = np.stack(
+                [np.pad(s, ((0, t_max - s.shape[0]), (0, 0)), mode="edge")
+                 for s in scs]
+            )
+            return bd.decode_scores_batch(padded, lengths)
+
+    tester.run(specs, refs, batch_fn=batch_fn, batch_size=args.batchSize)
     return 0
 
 

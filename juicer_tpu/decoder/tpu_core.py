@@ -770,6 +770,13 @@ class TpuDecoder:
             "rec_score": rec["score"],
             "rec_ac": rec["ac"],
             "rec_lm": rec["lm"],
+            # per-frame best-final snapshot: lets a padded batch read the
+            # exact result at each utterance's true length
+            "bf_score": best_final["score"],
+            "bf_ac": best_final["ac"],
+            "bf_lm": best_final["lm"],
+            "bf_path": best_final["path"],
+            "bf_seq": best_final["seq"],
         }
         if lat:
             # lattice edges: every valid candidate (winner or not) is a
@@ -903,8 +910,20 @@ class TpuDecoder:
     # traceback (host)
     # ------------------------------------------------------------------
 
-    def _traceback(self, carry, ys, rec0, T) -> DecodeResult:
-        bf = jax.tree.map(np.asarray, carry["best_final"])
+    def _traceback(self, carry, ys, rec0, T, true_T: Optional[int] = None) -> DecodeResult:
+        if true_T is not None and true_T < T and true_T > 0:
+            # padded batch entry: read the best-final snapshot at the true
+            # utterance length
+            bf = {
+                "score": np.asarray(ys["bf_score"])[true_T - 1],
+                "ac": np.asarray(ys["bf_ac"])[true_T - 1],
+                "lm": np.asarray(ys["bf_lm"])[true_T - 1],
+                "path": np.asarray(ys["bf_path"])[true_T - 1],
+                "seq": np.asarray(ys["bf_seq"])[true_T - 1],
+            }
+            T = true_T
+        else:
+            bf = jax.tree.map(np.asarray, carry["best_final"])
         if bool(np.asarray(carry["overflow"])):
             import warnings
 

@@ -199,11 +199,34 @@ class BatchTester:
         self,
         specs: list[UtteranceSpec],
         refs: Optional[dict[str, list[int]]] = None,
+        batch_fn: Optional[Callable] = None,
+        batch_size: int = 1,
     ) -> EditDistance:
+        """Decode all utterances. With `batch_fn` (a list-of-features ->
+        list-of-DecodeResult callable) and batch_size > 1, utterances are
+        decoded in device batches (padded to the batch max length; exact
+        per-utterance results via the per-frame best-final snapshot)."""
         out, close = self._open_output()
         try:
             if self.output_format in (OutputFormat.MLF, OutputFormat.XMLF):
                 out.write("#!MLF!#\n")
+            if batch_fn is not None and batch_size > 1:
+                for i in range(0, len(specs), batch_size):
+                    group = specs[i : i + batch_size]
+                    feats = [self.load_features(s) for s in group]
+                    t0 = time.perf_counter()
+                    results = batch_fn(feats)
+                    dt = time.perf_counter() - t0
+                    self.decode_time += dt
+                    per = dt / max(len(group), 1)
+                    for spec, res in zip(group, results):
+                        self.speech_time += res.n_frames / self.frames_per_sec
+                        ur = self._to_result(spec, res, per)
+                        if refs is not None:
+                            ur.expected = refs.get(spec.name)
+                        self.results.append(ur)
+                        self._output_result(out, ur)
+                return self._statistics(out)
             for spec in specs:
                 feats = self.load_features(spec)
                 t0 = time.perf_counter()

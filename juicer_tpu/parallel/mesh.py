@@ -54,8 +54,11 @@ class BatchDecoder:
         else:
             self._fn = jax.jit(batched)
 
-    def decode_scores_batch(self, gmm_scores: np.ndarray) -> list:
-        """gmm_scores: (B, T, n_gmms). Returns a list of DecodeResult."""
+    def decode_scores_batch(self, gmm_scores: np.ndarray, lengths=None) -> list:
+        """gmm_scores: (B, T, n_gmms), optionally padded to a common T with
+        per-utterance true `lengths` (the per-frame best-final snapshot in
+        the scan output makes padded decodes exact). Returns DecodeResults.
+        """
         B = gmm_scores.shape[0]
         carry, ys, rec0 = self._fn(jnp.asarray(gmm_scores, self.decoder._dt))
         out = []
@@ -63,5 +66,10 @@ class BatchDecoder:
             c_b = jax.tree.map(lambda x: x[b], carry)
             ys_b = jax.tree.map(lambda x: x[b], ys)
             r0_b = jax.tree.map(lambda x: x[b], rec0)
-            out.append(self.decoder._traceback(c_b, ys_b, r0_b, gmm_scores.shape[1]))
+            true_T = int(lengths[b]) if lengths is not None else None
+            out.append(
+                self.decoder._traceback(
+                    c_b, ys_b, r0_b, gmm_scores.shape[1], true_T=true_T
+                )
+            )
         return out

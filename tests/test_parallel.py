@@ -54,6 +54,31 @@ class TestBatchDecoder:
         assert len(results) == 3
         assert all(not r.empty for r in results)
 
+    def test_padded_batch_exact_per_length(self):
+        """Utterances of different lengths padded to a common T decode
+        exactly like individual decodes (per-frame best-final snapshot)."""
+        models, dec = make_task()
+        lengths = [7, 12, 18]
+        singles = []
+        scores = []
+        for i, L in enumerate(lengths):
+            s = scores_matrix(models, L, seed=10 + i)
+            singles.append(dec.decode_scores(s))
+            scores.append(s)
+        t_max = max(lengths)
+        padded = np.stack(
+            [np.pad(s, ((0, t_max - s.shape[0]), (0, 0)), mode="edge") for s in scores]
+        )
+        bd = BatchDecoder(dec, mesh=None)
+        results = bd.decode_scores_batch(padded, lengths)
+        for r, s in zip(results, singles):
+            assert r.words == s.words
+            assert abs(r.score - s.score) < 1e-4
+            assert r.n_frames == s.n_frames
+            assert [h.end_frame for h in r.word_hyps] == [
+                h.end_frame for h in s.word_hyps
+            ]
+
 
 class TestGraftEntry:
     def test_entry_compiles(self):
