@@ -58,6 +58,12 @@ def make_parser():
     p.add_argument("-latticeDir", default=None, help="write per-utterance lattices here")
     p.add_argument("-modelLevelOutput", action="store_true",
                    help="output model (phone) sequences instead of words")
+    # speaker adaptation: per-speaker CMLLR input transforms
+    p.add_argument("-inputXformDir", default=None)
+    p.add_argument("-inputXformExt", default=".xform")
+    p.add_argument("-speakerNamePattern", default=None,
+                   help="regex with one capture group extracting the speaker "
+                        "from the utterance name")
     # on-the-fly composition: give the G transducer separately and pass the
     # CL transducer as -fsmFName (reference: OTF core selected when a
     # grammar FSM is supplied, `juicer.cpp:594-602`)
@@ -240,6 +246,14 @@ def main(argv=None):
                 return res
             return dec.decode_scores(sc)
 
+    speaker_xforms = None
+    if args.inputXformDir:
+        from ..am.xform import SpeakerXforms
+
+        speaker_xforms = SpeakerXforms(
+            args.inputXformDir, args.inputXformExt, args.speakerNamePattern
+        )
+
     if args.modelLevelOutput and args.refCore:
         raise SystemExit("juicer: -modelLevelOutput requires the TPU core")
     out_names = vocab.words
@@ -257,6 +271,7 @@ def main(argv=None):
         feature_kind=args.inputFormat,
         lna_outputs=models.vec_size if models.hybrid_mode else 0,
         lattice_dir=args.latticeDir,
+        speaker_xforms=speaker_xforms,
     )
     specs = BatchTester.read_input_list(args.inputFName)
     refs = None

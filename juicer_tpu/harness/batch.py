@@ -102,6 +102,7 @@ class BatchTester:
         lna_outputs: int = 0,
         frame_time_offset_ns: int = 0,
         lattice_dir: Optional[str] = None,
+        speaker_xforms=None,  # am.xform.SpeakerXforms
     ):
         self.decode_fn = decode_fn
         self.word_names = word_names
@@ -115,6 +116,7 @@ class BatchTester:
         self.lna_outputs = lna_outputs
         self.frame_time_offset_ns = frame_time_offset_ns
         self.lattice_dir = lattice_dir
+        self.speaker_xforms = speaker_xforms
         self.results: list[UtteranceResult] = []
         self.decode_time = 0.0
         self.speech_time = 0.0
@@ -149,6 +151,10 @@ class BatchTester:
             raise ValueError(f"unknown feature kind {self.feature_kind}")
         if spec.start_frame >= 0:
             feats = feats[spec.start_frame : spec.end_frame + 1]
+        if self.speaker_xforms is not None:
+            xf = self.speaker_xforms.for_utterance(spec.name)
+            if xf is not None:
+                feats = xf.apply(feats).astype(np.float32)
         return feats
 
     @staticmethod
