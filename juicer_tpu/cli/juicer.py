@@ -64,6 +64,11 @@ def make_parser():
     p.add_argument("-speakerNamePattern", default=None,
                    help="regex with one capture group extracting the speaker "
                         "from the utterance name")
+    p.add_argument("-doModelsIOTest", action="store_true",
+                   help="round-trip the acoustic models through text and "
+                        "binary formats and verify scores agree")
+    p.add_argument("-genTestSeqs", action="store_true",
+                   help="print random label sequences accepted by the network")
     # on-the-fly composition: give the G transducer separately and pass the
     # CL transducer as -fsmFName (reference: OTF core selected when a
     # grammar FSM is supplied, `juicer.cpp:594-602`)
@@ -92,6 +97,28 @@ def load_models(args):
         priors = np.loadtxt(args.priorsFName).reshape(-1)
         return AcousticModelSet.hybrid(list(ps.phones), priors, args.statesPerModel)
     raise SystemExit("juicer: need -htkModelsFName or (-monoListFName -priorsFName)")
+
+
+def do_models_io_test(models):
+    """Round-trip the model set through text MMF and binary npz and verify
+    observation scores agree (`testModelsIO`, `HTKModels.cpp:2253-2327`)."""
+    import tempfile
+
+    from ..am import AcousticModelSet
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=models.vec_size)
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "m.npz")
+        models.save_npz(p)
+        m2 = AcousticModelSet.load_npz(p)
+        for h in range(models.n_hmms):
+            for j in range(1, models.get_num_states(h) - 1):
+                a = models.calc_output(h, j, x)
+                b = m2.calc_output(h, j, x)
+                if abs(a - b) > 1e-9:
+                    raise SystemExit(f"modelsIOTest FAILED: hmm {h} state {j}: {a} vs {b}")
+    print(f"modelsIOTest passed: {models.n_hmms} HMMs round-tripped")
 
 
 def check_consistency(net, models, vocab):
@@ -137,6 +164,16 @@ def main(argv=None):
 
     vocab = Vocabulary(args.lexFName, "!", args.sentStartWord, args.sentEndWord)
     models = load_models(args)
+
+    if args.doModelsIOTest:
+        do_models_io_test(models)
+    if args.genTestSeqs:
+        from ..fst import algos, read_fsm, read_symbols
+
+        f = read_fsm(args.fsmFName)
+        osy = read_symbols(args.outSymsFName)
+        for il, ol, cost in algos.generate_sequences(f, 10, seed=0, max_len=200):
+            print(" ".join(osy[o] for o in ol), f"({cost:.3f})")
 
     otf = args.gramFsmFName is not None
     cache = args.fsmFName + ".npz"
