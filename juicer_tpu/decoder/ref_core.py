@@ -118,6 +118,7 @@ class DecodeResult:
     acoustic_score: float
     lm_score: float
     n_frames: int
+    avg_active: float = 0.0  # mean active insts per frame (observability)
 
     @property
     def empty(self) -> bool:

@@ -566,6 +566,13 @@ class TpuDecoder:
             "score": jnp.where(rec_valid, landed[:, 1], NEG),
             "ac": jnp.where(rec_valid, landed[:, 2], NEG),
             "lm": jnp.where(rec_valid, landed[:, 3], NEG),
+            # observability: surviving + newly allocated insts this frame
+            # (the reference's avgActiveModels counters,
+            # `WFSTDecoderLite.cpp:230-241`); hits land inside the live
+            # prefix and must not be double-counted
+            "n_active": n_live + jnp.sum(
+                (got & (jnp.arange(K) >= n_live)).astype(jnp.int32)
+            ),
         }
 
         best_new = jnp.max(jnp.where(w_ok, g_score, NEG))
@@ -779,6 +786,7 @@ class TpuDecoder:
             "bf_lm": best_final["lm"],
             "bf_path": best_final["path"],
             "bf_seq": best_final["seq"],
+            "n_active": rec["n_active"],
         }
         if lat:
             # lattice edges: every valid candidate (winner or not) is a
@@ -884,11 +892,25 @@ class TpuDecoder:
 
         return StreamingDecoder(self)
 
+    # utterance lengths are padded up to multiples of this so the jitted
+    # scan compiles once per bucket, not once per distinct length; results
+    # stay exact via the per-frame best-final snapshot
+    T_BUCKET = 128
+
     def decode_scores(self, gmm_scores: np.ndarray) -> DecodeResult:
         """Decode from a precomputed (T, n_gmms) log-likelihood matrix."""
-        gmm_scores = jnp.asarray(gmm_scores, dtype=self._dt)
-        carry, ys, rec0 = self._decode_jit(gmm_scores)
-        return self._traceback(carry, ys, rec0, int(gmm_scores.shape[0]))
+        T = int(gmm_scores.shape[0])
+        gmm_scores = np.asarray(gmm_scores)
+        T_pad = max(self.T_BUCKET, -(-T // self.T_BUCKET) * self.T_BUCKET)
+        if T_pad != T and T > 0:
+            gmm_scores = np.concatenate(
+                [gmm_scores, np.repeat(gmm_scores[-1:], T_pad - T, axis=0)]
+            )
+        dev_scores = jnp.asarray(gmm_scores, dtype=self._dt)
+        carry, ys, rec0 = self._decode_jit(dev_scores)
+        return self._traceback(
+            carry, ys, rec0, int(dev_scores.shape[0]), true_T=T if T_pad != T else None
+        )
 
     def decode_features(self, features: np.ndarray, scorer) -> DecodeResult:
         """Decode raw features with a (T, D) -> (T, n_gmms) scorer."""
@@ -972,6 +994,7 @@ class TpuDecoder:
                 hyps.append(WordHyp(lab, frame, s, a, l))
             pid = prev
         hyps.reverse()
+        na = np.asarray(ys.get("n_active", np.zeros(1)))
         return DecodeResult(
             words=[h.word for h in hyps],
             word_hyps=hyps,
@@ -979,6 +1002,7 @@ class TpuDecoder:
             acoustic_score=float(bf["ac"]),
             lm_score=float(bf["lm"]),
             n_frames=T,
+            avg_active=float(na[:T].mean()) if na.size else 0.0,
         )
 
 

@@ -85,6 +85,7 @@ class UtteranceResult:
     n_frames: int
     decode_time: float
     expected: Optional[list[int]] = None
+    avg_active: float = 0.0
 
 
 class BatchTester:
@@ -300,6 +301,7 @@ class BatchTester:
             total_lm=res.lm_score,
             n_frames=res.n_frames,
             decode_time=dt,
+            avg_active=getattr(res, "avg_active", 0.0),
         )
 
     # -- output formats ----------------------------------------------------
@@ -355,6 +357,11 @@ class BatchTester:
         LogFile.printf(
             "\ntotal scores: lm=%.3f ac=%.3f\n\n", ur.total_lm, ur.total_acoustic
         )
+        if ur.avg_active:
+            LogFile.printf(
+                "Statistics: nFrames=%d avgActiveModels=%.2f\n",
+                ur.n_frames, ur.avg_active,
+            )
         if fmt == OutputFormat.VERBOSE:
             out.write(f"{ur.spec.path or ur.spec.name}\n")
             if ur.expected is not None:
