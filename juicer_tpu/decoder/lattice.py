@@ -48,14 +48,19 @@ def build_lattice(
     """Assemble a lattice Fst from decoder lattice records."""
     seqs = art.seqs
     K = len(np.asarray(rec0["ev_arc"]))
+    otf = "ev_g" in ys or "lat_to_g" in rec0
 
-    # ---- event table: ev_id -> (arc, cum_ac, cum_lm, fst state) ----------
+    # ---- event table: ev_id -> (arc[, g], cum_ac, cum_lm, fst state) -----
     ev_arc0 = np.asarray(rec0["ev_arc"])
     ev_ac0 = np.asarray(rec0["ev_ac"])
     ev_lm0 = np.asarray(rec0["ev_lm"])
+    ev_g0 = np.asarray(rec0["ev_g"]) if otf else np.zeros_like(ev_arc0)
     ev_arc = np.asarray(ys["ev_arc"]) if T > 0 else np.zeros((0, K), np.int32)
     ev_ac = np.asarray(ys["ev_ac"]) if T > 0 else np.zeros((0, K))
     ev_lm = np.asarray(ys["ev_lm"]) if T > 0 else np.zeros((0, K))
+    ev_g = (
+        np.asarray(ys["ev_g"]) if (otf and T > 0) else np.zeros_like(ev_arc)
+    )
 
     f = Fst(LOG)
     start = f.add_state()
@@ -63,18 +68,18 @@ def build_lattice(
 
     ev_state: dict[int, int] = {}
     ev_cum: dict[int, float] = {}
-    by_frame_arc: dict[tuple[int, int], int] = {}
+    by_frame_arc: dict[tuple, int] = {}
 
-    def register_events(t: int, arcs, acs, lms):
+    def register_events(t: int, arcs, acs, lms, gs):
         for slot in np.nonzero(arcs >= 0)[0]:
             ev = t * K + int(slot)
             ev_state[ev] = f.add_state()
             ev_cum[ev] = float(acs[slot]) + float(lms[slot])
-            by_frame_arc[(t, int(arcs[slot]))] = ev
+            by_frame_arc[(t, int(arcs[slot]), int(gs[slot]))] = ev
 
-    register_events(-1, ev_arc0, ev_ac0, ev_lm0)
+    register_events(-1, ev_arc0, ev_ac0, ev_lm0, ev_g0)
     for t in range(T):
-        register_events(t, ev_arc[t], ev_ac[t], ev_lm[t])
+        register_events(t, ev_arc[t], ev_ac[t], ev_lm[t], ev_g[t])
 
     def src_of(ev: int):
         if ev == -1:
@@ -95,12 +100,12 @@ def build_lattice(
             cur = nxt
 
     # ---- edges -----------------------------------------------------------
-    def emit_edges(t, from_ev, to_arc, ac, lm, seq, valid):
+    def emit_edges(t, from_ev, to_arc, ac, lm, seq, valid, to_g):
         for e in np.nonzero(valid)[0]:
             src, src_cum = src_of(int(from_ev[e]))
             if src is None:
                 continue
-            ev = by_frame_arc.get((t, int(to_arc[e])))
+            ev = by_frame_arc.get((t, int(to_arc[e]), int(to_g[e])))
             if ev is None:
                 continue  # target arc's winner overflowed the frontier
             dst = ev_state[ev]
@@ -109,11 +114,14 @@ def build_lattice(
             add_edge(src, dst, in_label, seqs[int(seq[e])], cost)
 
     if "lat_valid" in rec0:
+        z0 = np.asarray(rec0["lat_to_g"]) if otf else np.zeros(
+            len(np.asarray(rec0["lat_valid"])), np.int32
+        )
         emit_edges(
             -1,
             np.asarray(rec0["lat_from_ev"]), np.asarray(rec0["lat_to_arc"]),
             np.asarray(rec0["lat_ac"]), np.asarray(rec0["lat_lm"]),
-            np.asarray(rec0["lat_seq"]), np.asarray(rec0["lat_valid"]),
+            np.asarray(rec0["lat_seq"]), np.asarray(rec0["lat_valid"]), z0,
         )
     if T > 0:
         lf = np.asarray(ys["lat_from_ev"])
@@ -122,8 +130,9 @@ def build_lattice(
         ll = np.asarray(ys["lat_lm"])
         ls = np.asarray(ys["lat_seq"])
         lv = np.asarray(ys["lat_valid"])
+        lg = np.asarray(ys["lat_to_g"]) if otf else np.zeros_like(lt)
         for t in range(T):
-            emit_edges(t, lf[t], lt[t], la[t], ll[t], ls[t], lv[t])
+            emit_edges(t, lf[t], lt[t], la[t], ll[t], ls[t], lv[t], lg[t])
 
         # ---- final states from the LAST frame's final candidates ---------
         fv = np.asarray(ys["flat_valid"])[T - 1]

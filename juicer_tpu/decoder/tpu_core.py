@@ -102,8 +102,6 @@ class TpuDecoder:
         self.otf = g_network is not None
         cfg = self.cfg
         dt = jnp.float64 if cfg.dtype == "float64" else jnp.float32
-        if self.otf and cfg.gen_lattice:
-            raise NotImplementedError("lattice generation in OTF mode not yet supported")
 
         self._dt = dt
 
@@ -587,6 +585,8 @@ class TpuDecoder:
             rec["ev_arc"] = jnp.where(got, arc_new, -1)
             rec["ev_ac"] = landed[:, 2]
             rec["ev_lm"] = landed[:, 3]
+            if otf:
+                rec["ev_g"] = jnp.where(got, fr_new["g"], 0)
         return fr_new, rec, best_new, overflow
 
     # ------------------------------------------------------------------
@@ -719,7 +719,10 @@ class TpuDecoder:
         f_base = meta[:, 4].astype(jnp.int32)
         f_fan = meta[:, 5].astype(jnp.int32)
         lat = self.cfg.gen_lattice
-        extra = (exit_lat,) if lat else ((fr["g"],) if self.otf else ())
+        # extra columns broadcast to candidates: [lat event id][, G state]
+        extra = (
+            ((exit_lat,) if lat else ()) + ((fr["g"],) if self.otf else ())
+        )
         cand = self._expand(
             exit_score, exit_ac, exit_lm, exit_path, ent_base, ent_fan, live_exit,
             extra=extra,
@@ -732,30 +735,30 @@ class TpuDecoder:
             # intersect crossed word labels with G (match-or-backoff); the
             # candidate key becomes the (arc, g') pair and the LM weight
             # absorbs the G arc/backoff weights
-            g0 = cand["extra"][:, 0].astype(jnp.int32)
+            g0 = cand["extra"][:, -1].astype(jnp.int32)
             g2, gw, okg = self._g_advance_seq(g0, cand["seq"])
             cand["g"] = g2
             cand["score"] = jnp.where(okg, cand["score"] + gw, NEG)
             cand["lm"] = cand["lm"] + gw
+            cand["ac"] = cand["ac"]
             cand["valid"] = cand["valid"] & okg
             # finals: consume the eps-path words, then reach a G final via
             # backoff (getStatesOnEpsPath analogue, precomputed)
-            fg0 = frecs["extra"][:, 0].astype(jnp.int32)
+            fg0 = frecs["extra"][:, -1].astype(jnp.int32)
             fg2, fgw, fokg = self._g_advance_seq(fg0, frecs["seq"])
             freach = dev["g_freach"][fg2]
-            fsc = jnp.where(
-                frecs["valid"] & fokg & (freach > NEG / 2),
-                frecs["score"] + fgw + freach,
-                NEG,
+            frecs["valid"] = frecs["valid"] & fokg & (freach > NEG / 2)
+            frecs["score"] = jnp.where(
+                frecs["valid"], frecs["score"] + fgw + freach, NEG
             )
+            frecs["lm"] = frecs["lm"] + fgw + freach
+            fsc = frecs["score"]
             fi = jnp.argmax(fsc)
             fbetter = fsc[fi] > NEG / 2
             best_final = {
                 "score": jnp.where(fbetter, fsc[fi], NEG),
                 "ac": jnp.where(fbetter, frecs["ac"][fi], NEG),
-                "lm": jnp.where(
-                    fbetter, frecs["lm"][fi] + fgw[fi] + freach[fi], NEG
-                ),
+                "lm": jnp.where(fbetter, frecs["lm"][fi], NEG),
                 "path": jnp.where(fbetter, frecs["path"][fi], -1),
                 "seq": jnp.where(fbetter, frecs["seq"][fi], 0),
             }
@@ -809,6 +812,10 @@ class TpuDecoder:
             ys["ev_arc"] = rec["ev_arc"]
             ys["ev_ac"] = rec["ev_ac"]
             ys["ev_lm"] = rec["ev_lm"]
+            if self.otf:
+                # lattice events/edges are keyed by the (arc, G state) pair
+                ys["lat_to_g"] = cand["g"]
+                ys["ev_g"] = rec["ev_g"]
         return carry_new, ys
 
     # ------------------------------------------------------------------
@@ -831,12 +838,10 @@ class TpuDecoder:
         fb = jnp.full((K,), meta0[4], self._dt).astype(jnp.int32)
         ff = jnp.full((K,), meta0[5], self._dt).astype(jnp.int32)
         lat = self.cfg.gen_lattice
-        if lat:
-            extra = (jnp.full((K,), -1, jnp.int32),)
-        elif self.otf:
-            extra = (jnp.full((K,), self.g.init_state, jnp.int32),)
-        else:
-            extra = ()
+        extra = (
+            ((jnp.full((K,), -1, jnp.int32),) if lat else ())
+            + ((jnp.full((K,), self.g.init_state, jnp.int32),) if self.otf else ())
+        )
         cand = self._expand(src_score, src_zero, src_zero, src_path, base, fan, live,
                             extra=extra)
         best_final, f_ov, _frecs = self._expand_finals(
@@ -844,7 +849,7 @@ class TpuDecoder:
             carry_best_zero(dt), extra=extra,
         )
         if self.otf:
-            g0 = cand["extra"][:, 0].astype(jnp.int32)
+            g0 = cand["extra"][:, -1].astype(jnp.int32)
             g2, gw, okg = self._g_advance_seq(g0, cand["seq"])
             cand["g"] = g2
             cand["score"] = jnp.where(okg, cand["score"] + gw, NEG)
@@ -859,6 +864,8 @@ class TpuDecoder:
             rec0["lat_lm"] = cand["lm"]
             rec0["lat_seq"] = cand["seq"]
             rec0["lat_valid"] = cand["valid"]
+            if self.otf:
+                rec0["lat_to_g"] = cand["g"]
         carry = {
             "fr": fr,
             "best_emit": jnp.asarray(NEG, dt),

@@ -109,6 +109,25 @@ class TestOtfParity:
         assert abs(r_ref.score - r_tpu.score) < 1e-6
         assert abs(r_ref.lm_score - r_tpu.lm_score) < 1e-6
 
+    def test_otf_lattice(self, toy):
+        from juicer_tpu.fst import algos as A
+
+        models = toy["models"]
+        T = 30
+        sc = scores_matrix(models, T, seed=33)
+        art = DecoderArtifact(toy["cl_net"], models)
+        dec = TpuDecoder(
+            art,
+            TpuDecoderConfig(max_insts=256, expand_budget=1024, final_budget=256,
+                             dtype="float64", gen_lattice=True),
+            g_network=toy["g_net"],
+        )
+        res, lat = dec.decode_scores_lattice(sc)
+        assert not res.empty
+        cost, il, ol = A.shortest_path(lat)
+        assert ol == res.words
+        assert abs(cost - (-(res.acoustic_score + res.lm_score))) < 1e-6
+
     def test_matches_static_clg_words(self, toy):
         """OTF decode must produce the same 1-best WORDS as the statically
         composed CLG (scores differ: det/min in the log semiring
