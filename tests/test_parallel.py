@@ -80,6 +80,25 @@ class TestBatchDecoder:
             ]
 
 
+class TestMultiProcess:
+    def test_two_process_distributed_decode(self):
+        """jax.distributed 2-process corpus-sharded decode with collective
+        statistics aggregation (the multi-host code path on CPU)."""
+        import os
+        import subprocess
+        import sys
+
+        script = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "multihost_demo.py",
+        )
+        out = subprocess.run(
+            [sys.executable, script, "2"], capture_output=True, text=True,
+            timeout=300,
+        )
+        assert "MULTIHOST OK: 2 processes, 8 utterances" in out.stdout, out.stderr[-2000:]
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import sys, os
