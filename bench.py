@@ -39,7 +39,8 @@ def main():
     )
     dec = TpuDecoder(
         task.artifact,
-        TpuDecoderConfig(max_insts=K, expand_budget=E, final_budget=256),
+        TpuDecoderConfig(max_insts=K, expand_budget=E, final_budget=256,
+                         emit_diagnostics=False),
     )
     scorer = make_gmm_scorer(task.models.flat_params())
 

@@ -82,6 +82,9 @@ class TpuDecoderConfig:
     max_emit_hyps: int = 0
     dtype: str = "float32"
     gen_lattice: bool = False
+    # per-frame best-final snapshots (exact padded decoding) + active-inst
+    # counters; disable to shrink the compiled scan (benchmarks)
+    emit_diagnostics: bool = True
 
 
 class TpuDecoder:
@@ -782,15 +785,16 @@ class TpuDecoder:
             "rec_score": rec["score"],
             "rec_ac": rec["ac"],
             "rec_lm": rec["lm"],
+        }
+        if cfg.emit_diagnostics:
             # per-frame best-final snapshot: lets a padded batch read the
             # exact result at each utterance's true length
-            "bf_score": best_final["score"],
-            "bf_ac": best_final["ac"],
-            "bf_lm": best_final["lm"],
-            "bf_path": best_final["path"],
-            "bf_seq": best_final["seq"],
-            "n_active": rec["n_active"],
-        }
+            ys["bf_score"] = best_final["score"]
+            ys["bf_ac"] = best_final["ac"]
+            ys["bf_lm"] = best_final["lm"]
+            ys["bf_path"] = best_final["path"]
+            ys["bf_seq"] = best_final["seq"]
+            ys["n_active"] = rec["n_active"]
         if lat:
             # lattice edges: every valid candidate (winner or not) is a
             # lattice transition, from the exiting token's entry EVENT to
@@ -908,6 +912,11 @@ class TpuDecoder:
         """Decode from a precomputed (T, n_gmms) log-likelihood matrix."""
         T = int(gmm_scores.shape[0])
         gmm_scores = np.asarray(gmm_scores)
+        if not self.cfg.emit_diagnostics:
+            # no best-final snapshots -> no exact padding; decode unpadded
+            dev_scores = jnp.asarray(gmm_scores, dtype=self._dt)
+            carry, ys, rec0 = self._decode_jit(dev_scores)
+            return self._traceback(carry, ys, rec0, T)
         T_pad = max(self.T_BUCKET, -(-T // self.T_BUCKET) * self.T_BUCKET)
         if T_pad != T and T > 0:
             gmm_scores = np.concatenate(
