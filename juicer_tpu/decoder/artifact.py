@@ -263,6 +263,58 @@ class DecoderArtifact:
             f_seq=np.asarray(fcols[3], dtype=np.int32),
         )
 
+    # -- anticipated output labels (OTF pushing) ----------------------------
+
+    def anticipated_labels(self) -> np.ndarray:
+        """Per hmm-arc anticipated output label for label-and-weight pushing
+        (`WFSTLabelPushingNetwork::assignOutlabsToTrans`,
+        `/root/reference/src/WFSTNetwork.cpp:1528+`), reduced to the decision
+        that matters: the SINGLETON next output label of every path through
+        the arc, or 0 when there is none / more than one.
+
+        Fixpoint over the expansion tables: an arc with its own output label
+        anticipates it; otherwise it anticipates the union of (first seq
+        label or target arc's anticipation) over its closure entries,
+        collapsed to 0 when non-singleton.
+        """
+        NONE, MULTI = 0, -1
+        ex = self.expansion
+        lab = np.where(self.arc_olabel != 0, self.arc_olabel, NONE).astype(np.int64)
+        for _ in range(self.n_hmm_arcs + 2):
+            changed = False
+            for a in range(self.n_hmm_arcs):
+                if lab[a] != NONE and self.arc_olabel[a] != 0:
+                    continue
+                got = set()
+                for e in range(ex.row_ptr[a], ex.row_ptr[a + 1]):
+                    seq = self.seqs[int(ex.seq[e])]
+                    if seq:
+                        got.add(int(seq[0]))
+                    else:
+                        t = lab[int(ex.arc[e])]
+                        if t == MULTI:
+                            got.add(-1)
+                            got.add(-2)
+                        elif t != NONE:
+                            got.add(int(t))
+                # final reach with no label pending also counts as "no word"
+                if ex.frow_ptr[a] < ex.frow_ptr[a + 1]:
+                    for e in range(ex.frow_ptr[a], ex.frow_ptr[a + 1]):
+                        seq = self.seqs[int(ex.f_seq[e])]
+                        got.add(int(seq[0]) if seq else 0)
+                new = NONE
+                got.discard(0)
+                if len(got) == 1:
+                    new = got.pop()
+                elif len(got) > 1:
+                    new = MULTI
+                if new != lab[a]:
+                    lab[a] = new
+                    changed = True
+            if not changed:
+                break
+        return np.where(lab > 0, lab, 0).astype(np.int32)
+
     # -- stats --------------------------------------------------------------
 
     @property

@@ -85,6 +85,10 @@ class TpuDecoderConfig:
     # per-frame best-final snapshots (exact padded decoding) + active-inst
     # counters; disable to shrink the compiled scan (benchmarks)
     emit_diagnostics: bool = True
+    # OTF label-and-weight pushing: apply the G weight of an arc's
+    # anticipated (singleton) output label at entry and compensate at exit,
+    # so LM information participates in pruning early
+    otf_pushing: bool = False
 
 
 class TpuDecoder:
@@ -207,6 +211,15 @@ class TpuDecoder:
             )
             self._g_maxrow = int(np.max(np.diff(g.row_ptr), initial=1))
             self._g_maxbo = g.max_backoff
+            self.pushing = cfg.otf_pushing
+            if self.pushing:
+                # anticipated singleton output label per arc (0 = none/multi)
+                push = artifact.anticipated_labels()
+                self.dev["push_label"] = jnp.asarray(
+                    np.concatenate([push, [0, 0]])
+                )
+        else:
+            self.pushing = False
         self._decode_jit = jax.jit(self._decode_scan)
 
     # ------------------------------------------------------------------
@@ -288,6 +301,8 @@ class TpuDecoder:
         }
         if self.otf:
             fr["g"] = jnp.zeros((K,), jnp.int32)
+            if self.pushing:
+                fr["push_la"] = jnp.zeros((K,), dt)
         if self.cfg.gen_lattice:
             # per-TOKEN lattice event id (the entry event whose occupancy the
             # token represents), carried like `path`; -1 = utterance start
@@ -429,10 +444,13 @@ class TpuDecoder:
         lat = self.cfg.gen_lattice
         names = ("score", "ac", "lm", "path") + (("lat",) if lat else ())
         fills = {"score": NEG, "ac": NEG, "lm": NEG, "path": -1, "lat": -1}
+        pushing = self.pushing
         ops = [key] + ([fr["g"]] if otf else [])
         for name in names:
             for j in range(S):
                 ops.append(fr[name][:, j])
+        if pushing:
+            ops.append(fr["push_la"])
         sorted_ops = jax.lax.sort(tuple(ops), num_keys=2 if otf else 1)
         key_s = sorted_ops[0]
         idx = 1
@@ -440,6 +458,8 @@ class TpuDecoder:
         if otf:
             fr2["g"] = jnp.where(key_s >= dead, 0, sorted_ops[1])
             idx = 2
+        if pushing:
+            fr2["push_la"] = jnp.where(key_s >= dead, 0.0, sorted_ops[-1])
         for name in names:
             fill = fills[name]
             cols = []
@@ -458,11 +478,13 @@ class TpuDecoder:
         sort_score = jnp.where(cand["valid"], -cand["score"], jnp.asarray(-NEG, dt))
         if otf:
             cg = jnp.where(cand["valid"], cand["g"], 0)
-            (c_arc, c_g, c_negscore, _ids, c_ac, c_lm, c_prev, c_seq) = jax.lax.sort(
-                (sort_arc, cg, sort_score, e_ids, cand["ac"], cand["lm"],
-                 cand["prev"], cand["seq"]),
-                num_keys=4,
-            )
+            c_ops = [sort_arc, cg, sort_score, e_ids, cand["ac"], cand["lm"],
+                     cand["prev"], cand["seq"]]
+            if pushing:
+                c_ops.append(cand["la"])
+            sorted_c = jax.lax.sort(tuple(c_ops), num_keys=4)
+            (c_arc, c_g, c_negscore, _ids, c_ac, c_lm, c_prev, c_seq) = sorted_c[:8]
+            c_la = sorted_c[8] if pushing else None
             run_first = jnp.concatenate(
                 [jnp.ones((1,), bool),
                  (c_arc[1:] != c_arc[:-1]) | (c_g[1:] != c_g[:-1])]
@@ -504,14 +526,17 @@ class TpuDecoder:
             jnp.concatenate([ZI, c_prev]),
             jnp.concatenate([ZI, c_seq]),
         ]
+        if pushing:
+            comb_ops.append(jnp.concatenate([Z, c_la]))
         sorted_comb = jax.lax.sort(tuple(comb_ops), num_keys=3 if otf else 2)
         if otf:
-            (ck, cgk, ckind, g_score, g_ac, g_lm, g_prev, g_seq) = sorted_comb
+            (ck, cgk, ckind, g_score, g_ac, g_lm, g_prev, g_seq) = sorted_comb[:8]
             same_key = (ck[1:] == ck[:-1]) & (cgk[1:] == cgk[:-1])
         else:
-            (ck, ckind, g_score, g_ac, g_lm, g_prev, g_seq) = sorted_comb
+            (ck, ckind, g_score, g_ac, g_lm, g_prev, g_seq) = sorted_comb[:7]
             cgk = None
             same_key = ck[1:] == ck[:-1]
+        g_la = sorted_comb[-1] if pushing else None
         is_cand = ckind == 1
         prev_same_frontier = jnp.concatenate(
             [jnp.zeros((1,), bool), same_key & (ckind[:-1] == 0)]
@@ -547,6 +572,8 @@ class TpuDecoder:
         ]
         if otf:
             cols.append(cgk.astype(dt))
+        if pushing:
+            cols.append(g_la)
         payload = jnp.stack(cols, axis=1)
         landed = jnp.zeros((K, len(cols)), dt)
         landed = landed.at[slot_w].set(payload, mode="drop", unique_indices=True)
@@ -580,6 +607,8 @@ class TpuDecoder:
         fr_new = {"arc": arc_new, "score": score, "ac": ac, "lm": lm, "path": path}
         if otf:
             fr_new["g"] = jnp.where(got, landed[:, 9].astype(jnp.int32), fr["g"])
+        if pushing:
+            fr_new["push_la"] = jnp.where(got, landed[:, -1], fr["push_la"])
         if lat:
             # the landing slot becomes a new lattice event; its id is the
             # same (t*K + slot) encoding used for path records
@@ -701,6 +730,8 @@ class TpuDecoder:
             )
         if self.otf:
             fr2["g"] = fr["g"]
+            if self.pushing:
+                fr2["push_la"] = fr["push_la"]
         fr = fr2
 
         # ---- external propagation ----------------------------------------
@@ -716,6 +747,10 @@ class TpuDecoder:
         )
         thresh_k = jnp.where(arc_ol == 0, end_thresh, word_thresh)
         live_exit = exit_ok & (exit_score > thresh_k) & (fr["arc"] <= self.n_arcs)
+        if self.pushing:
+            # remove this inst's lookahead before crossing (the real G
+            # weight is applied at the word crossing below)
+            exit_score = jnp.where(exit_ok, exit_score - fr["push_la"], exit_score)
 
         ent_base = meta[:, 2].astype(jnp.int32)
         ent_fan = meta[:, 3].astype(jnp.int32)
@@ -745,6 +780,19 @@ class TpuDecoder:
             cand["lm"] = cand["lm"] + gw
             cand["ac"] = cand["ac"]
             cand["valid"] = cand["valid"] & okg
+            if self.pushing:
+                # label-and-weight pushing: add the G weight of the target
+                # arc's anticipated singleton word now (pruning sees LM
+                # information early); compensated at exit. Candidates whose
+                # anticipated word cannot be matched in G die here.
+                pl = dev["push_label"][jnp.minimum(cand["arc"], self.n_arcs + 1)]
+                _, push_w, ok_push = self._g_advance(cand["g"], pl != 0, pl)
+                la = jnp.where((pl != 0) & ok_push, push_w, 0.0)
+                cand["valid"] = cand["valid"] & ((pl == 0) | ok_push)
+                cand["score"] = jnp.where(
+                    cand["valid"], cand["score"] + la, cand["score"]
+                )
+                cand["la"] = la
             # finals: consume the eps-path words, then reach a G final via
             # backoff (getStatesOnEpsPath analogue, precomputed)
             fg0 = frecs["extra"][:, -1].astype(jnp.int32)
@@ -859,6 +907,15 @@ class TpuDecoder:
             cand["score"] = jnp.where(okg, cand["score"] + gw, NEG)
             cand["lm"] = cand["lm"] + gw
             cand["valid"] = cand["valid"] & okg
+            if self.pushing:
+                pl = self.dev["push_label"][jnp.minimum(cand["arc"], self.n_arcs + 1)]
+                _, push_w, ok_push = self._g_advance(cand["g"], pl != 0, pl)
+                la = jnp.where((pl != 0) & ok_push, push_w, 0.0)
+                cand["valid"] = cand["valid"] & ((pl == 0) | ok_push)
+                cand["score"] = jnp.where(
+                    cand["valid"], cand["score"] + la, cand["score"]
+                )
+                cand["la"] = la
             best_final = carry_best_zero(dt)  # empty-utterance final unused
         fr, rec0, best_entry, m_ov = self._merge_and_insert(fr, cand, -1)
         if lat:

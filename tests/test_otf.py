@@ -109,6 +109,47 @@ class TestOtfParity:
         assert abs(r_ref.score - r_tpu.score) < 1e-6
         assert abs(r_ref.lm_score - r_tpu.lm_score) < 1e-6
 
+    def test_pushing_matches_nonpushing(self, toy):
+        """Label-and-weight pushing is score-compensated: with wide beams the
+        results are identical to non-pushing OTF (and the oracle)."""
+        models = toy["models"]
+        T = 30
+        sc = scores_matrix(models, T, seed=33)
+        art = DecoderArtifact(toy["cl_net"], models)
+        base_cfg = dict(max_insts=256, expand_budget=1024, final_budget=256,
+                        dtype="float64")
+        plain = TpuDecoder(art, TpuDecoderConfig(**base_cfg), g_network=toy["g_net"])
+        pushed = TpuDecoder(
+            art, TpuDecoderConfig(otf_pushing=True, **base_cfg),
+            g_network=toy["g_net"],
+        )
+        r0 = plain.decode_scores(sc)
+        r1 = pushed.decode_scores(sc)
+        assert r0.words == r1.words
+        # the NORMALIZED score differs (per-frame normalizers see the
+        # lookahead); the un-normalized decomposition must agree exactly
+        assert abs(r0.acoustic_score - r1.acoustic_score) < 1e-6
+        assert abs(r0.lm_score - r1.lm_score) < 1e-6
+
+    def test_pushing_prunes_with_lm_early(self, toy):
+        """With a tight beam, pushing keeps LM-favored paths that
+        non-pushing may prune (the point of the optimization): at minimum
+        it must not crash and must produce a result with sane beams."""
+        models = toy["models"]
+        T = 30
+        sc = scores_matrix(models, T, seed=33)
+        art = DecoderArtifact(toy["cl_net"], models)
+        pushed = TpuDecoder(
+            art,
+            TpuDecoderConfig(max_insts=256, expand_budget=1024, final_budget=256,
+                             dtype="float64", otf_pushing=True,
+                             emit_prune_win=200.0, phone_end_prune_win=150.0,
+                             word_prune_win=150.0),
+            g_network=toy["g_net"],
+        )
+        r = pushed.decode_scores(sc)
+        assert not r.empty
+
     def test_otf_lattice(self, toy):
         from juicer_tpu.fst import algos as A
 
