@@ -234,6 +234,30 @@ class AcousticModelSet:
         gi = int(self.hmm_gmm_inds[hmm_ind][state_ind - 1])
         return self.score_gmm(gi, x)
 
+    # -- speaker adaptation ------------------------------------------------
+
+    def with_mean_transform(self, A: np.ndarray, b: np.ndarray) -> "AcousticModelSet":
+        """Model-space MLLR mean adaptation: a copy with every Gaussian mean
+        transformed μ' = A μ + b (global regression class). The per-speaker
+        analogue of the reference's HTKLib parent-transform path
+        (`HModels.h:14-120`); rebuild the scorer from the returned set."""
+        ms = AcousticModelSet()
+        ms.vec_size = self.vec_size
+        ms.hybrid_mode = self.hybrid_mode
+        ms.log_priors = self.log_priors
+        ms.gmm_names = list(self.gmm_names)
+        ms.gmm_means = [m @ A.T + b[None, :] for m in self.gmm_means]
+        ms.gmm_vars = [v.copy() for v in self.gmm_vars]
+        ms.gmm_log_weights = [w.copy() for w in self.gmm_log_weights]
+        ms.trans_mats = self.trans_mats
+        ms._trans_names = self._trans_names
+        ms.hmm_names = self.hmm_names
+        ms.hmm_gmm_inds = self.hmm_gmm_inds
+        ms.hmm_trans_ind = self.hmm_trans_ind
+        ms._hmm_index = self._hmm_index
+        ms._gmm_name_index = self._gmm_name_index
+        return ms
+
     # -- TPU packing -------------------------------------------------------
 
     def flat_params(self, dtype=np.float32) -> FlatGmmParams:

@@ -75,6 +75,8 @@ def make_parser():
     p.add_argument("-gramFsmFName", default=None)
     p.add_argument("-gramInSymsFName", default=None)
     p.add_argument("-gramOutSymsFName", default=None)
+    p.add_argument("-pushing", action="store_true",
+                   help="label-and-weight pushing in on-the-fly composition")
     return p
 
 
@@ -255,6 +257,7 @@ def main(argv=None):
                 word_prune_win=args.wordEmitBeam,
                 max_emit_hyps=args.maxHyps,
                 gen_lattice=args.latticeDir is not None or args.modelLevelOutput,
+                otf_pushing=args.pushing,
             ),
             g_network=g_net,
         )

@@ -61,6 +61,29 @@ class TestXform:
         # cache hit path
         assert sx.for_utterance("spk1_utt004") is xf
 
+    def test_model_space_mllr(self, tmp_path):
+        """Mean-transformed models score like manually shifted Gaussians."""
+        import sys, os
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from test_decoder import make_models
+
+        models = make_models(3, n_emit=2, dim=4, n_comps=2, seed=1)
+        p = tmp_path / "s.xform"
+        p.write_text(XFORM)
+        xf = parse_xform(str(p))
+        adapted = models.with_mean_transform(xf.A, xf.b)
+        x = np.array([0.3, -0.1, 0.7, 0.2])
+        for g in range(models.n_gmms):
+            # score of adapted model on x == original gaussian with mean A μ+b
+            mu0 = models.gmm_means[g]
+            np.testing.assert_allclose(
+                adapted.gmm_means[g], mu0 @ xf.A.T + xf.b[None, :]
+            )
+            assert np.isfinite(adapted.score_gmm(g, x))
+        # original set untouched
+        assert not np.allclose(models.gmm_means[0], adapted.gmm_means[0])
+
     def test_harness_applies_xform(self, tmp_path):
         from juicer_tpu.harness.batch import BatchTester, UtteranceSpec
 
