@@ -44,7 +44,8 @@ def make_parser():
     p.add_argument("-expandBudget", type=int, default=32768)
     p.add_argument("-batchSize", type=int, default=1, help="utterances decoded per device batch")
     # input / output
-    p.add_argument("-inputFName", required=True, help="list of feature files")
+    p.add_argument("-inputFName", default=None,
+                   help="list of feature files (not needed with -loop)")
     p.add_argument("-inputFormat", default="htk",
                    choices=["htk", "lna", "npy", "factory"])
     p.add_argument("-framesPerSec", type=float, default=100.0)
@@ -77,6 +78,12 @@ def make_parser():
     p.add_argument("-gramOutSymsFName", default=None)
     p.add_argument("-pushing", action="store_true",
                    help="label-and-weight pushing in on-the-fly composition")
+    p.add_argument("-loop", action="store_true",
+                   help="streaming mode: read float32 feature frames from "
+                        "stdin endlessly, emit partial hypotheses as they "
+                        "converge (the reference's microphone loop)")
+    p.add_argument("-loopChunk", type=int, default=50,
+                   help="frames per streaming chunk in -loop mode")
     return p
 
 
@@ -99,6 +106,38 @@ def load_models(args):
         priors = np.loadtxt(args.priorsFName).reshape(-1)
         return AcousticModelSet.hybrid(list(ps.phones), priors, args.statesPerModel)
     raise SystemExit("juicer: need -htkModelsFName or (-monoListFName -priorsFName)")
+
+
+def run_loop(args, dec, scorer, models, out_names):
+    """Streaming decode loop: float32 frames (vec_size each) on stdin;
+    converged partial words printed as they stabilize, final hypothesis at
+    EOF (`-loop` endless-mic mode, `DecoderBatchTest.cpp` loop path +
+    PARTIAL_DECODING)."""
+    import sys as _sys
+
+    D = models.vec_size
+    chunk_frames = max(1, args.loopChunk)
+    stream = dec.stream()
+    raw = _sys.stdin.buffer
+    frame_bytes = 4 * D
+    while True:
+        data = raw.read(frame_bytes * chunk_frames)
+        if not data:
+            break
+        n = len(data) // frame_bytes
+        if n == 0:
+            break
+        feats = np.frombuffer(data[: n * frame_bytes], dtype="<f4").reshape(n, D)
+        sc = np.asarray(scorer(feats)) if not models.hybrid_mode else feats - np.asarray(models.log_priors)[None, :]
+        for h in stream.feed(sc):
+            name = out_names[h.word - 1] if 0 < h.word <= len(out_names) else "<?>"
+            print(f"partial: {name} (frame {h.end_frame})", flush=True)
+    final = stream.finish()
+    words = " ".join(
+        out_names[w - 1] if 0 < w <= len(out_names) else "<?>" for w in final.words
+    )
+    print(f"final: {words}", flush=True)
+    return 0
 
 
 def do_models_io_test(models):
@@ -313,6 +352,13 @@ def main(argv=None):
         lattice_dir=args.latticeDir,
         speaker_xforms=speaker_xforms,
     )
+    if args.loop:
+        if args.refCore:
+            raise SystemExit("juicer: -loop requires the TPU core")
+        return run_loop(args, dec, scorer, models, out_names)
+
+    if not args.inputFName:
+        raise SystemExit("juicer: -inputFName is required (or use -loop)")
     specs = BatchTester.read_input_list(args.inputFName)
     refs = None
     if args.refFName:
