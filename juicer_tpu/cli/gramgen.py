@@ -36,6 +36,8 @@ def make_parser():
     p.add_argument("-addSilenceArcs", action="store_true")
     p.add_argument("-normalise", action="store_true", help="renormalize LM stochasticity")
     p.add_argument("-genTestSeqs", action="store_true")
+    p.add_argument("-writeBinaryFiles", action="store_true",
+                   help="cache the parsed ARPA LM as .npz next to it")
     return p
 
 
@@ -51,6 +53,7 @@ def main(argv=None):
         word_ins_pen=args.wordInsPen,
         lm_fname=args.lmFName,
         unk_word=args.unkWord,
+        write_binary=args.writeBinaryFiles,
     )
     g = gen.build(
         add_sil=args.addSilenceArcs,

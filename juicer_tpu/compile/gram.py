@@ -80,6 +80,7 @@ class GramGen:
         word_ins_pen: float = 0.0,
         lm_fname: Optional[str] = None,
         unk_word: Optional[str] = None,
+        write_binary: bool = False,
     ):
         self.vocab = vocab
         self.gtype = gtype
@@ -87,7 +88,24 @@ class GramGen:
         self.word_ins_pen = word_ins_pen
         self.lm_fname = lm_fname
         self.unk_word = unk_word
+        self.write_binary = write_binary
         self.phi_label = -1
+
+    def _load_lm(self) -> ArpaLM:
+        """ARPA with npz caching (the reference's auto-written/auto-loaded
+        TOLM binary cache, `juicer.cpp:777-802`; cache is vocab-dependent
+        like the original)."""
+        import os
+
+        cache = self.lm_fname + ".npz"
+        if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(
+            self.lm_fname
+        ):
+            return ArpaLM.load_npz(cache, self.vocab, self.unk_word)
+        lm = ArpaLM(self.lm_fname, self.vocab, self.unk_word)
+        if self.write_binary:
+            lm.save_npz(cache)
+        return lm
 
     # -- public ------------------------------------------------------------
 
@@ -170,7 +188,7 @@ class GramGen:
         v = self.vocab
         if phi_bo_trans:
             self.phi_label = v.n_words + 1
-        lm = ArpaLM(self.lm_fname, v, self.unk_word)
+        lm = self._load_lm()
         if normalise:
             lm.normalise()
 

@@ -18,6 +18,8 @@ import gzip
 import math
 from typing import Optional
 
+import numpy as np
+
 from ..lexicon import Vocabulary
 
 LOG_ZERO = -1e30
@@ -142,6 +144,37 @@ class ArpaLM:
             if self.unk_word is None:
                 raise ValueError(f"no unk word defined but {v.get_word(i)!r} not in LM")
             self.unk_words.append(i)
+
+    # -- binary cache (the reference's "TOLM" cache, `ARPALM.cpp:117-357`) --
+
+    def save_npz(self, path: str) -> None:
+        arrays = {"order": np.array(self.order), "unk_id": np.array(self.unk_id),
+                  "unk_words": np.asarray(self.unk_words, dtype=np.int64)}
+        for n in range(1, self.order + 1):
+            ents = self.entries[n - 1]
+            ids = np.array([list(k) for k in ents], dtype=np.int64).reshape(-1, n)
+            pb = np.array([v for v in ents.values()], dtype=np.float64).reshape(-1, 2)
+            arrays[f"ids_{n}"] = ids
+            arrays[f"pb_{n}"] = pb
+        np.savez_compressed(path, **arrays)
+
+    @classmethod
+    def load_npz(cls, path: str, vocab=None, unk_word=None) -> "ArpaLM":
+        z = np.load(path)
+        lm = cls(None, vocab, None)
+        lm.unk_word = unk_word
+        lm.order = int(z["order"])
+        lm.unk_id = int(z["unk_id"])
+        lm.unk_words = [int(x) for x in z["unk_words"]]
+        lm.entries = []
+        for n in range(1, lm.order + 1):
+            ids = z[f"ids_{n}"]
+            pb = z[f"pb_{n}"]
+            lm.entries.append(
+                {tuple(int(x) for x in row): (float(p), float(b))
+                 for row, (p, b) in zip(ids, pb)}
+            )
+        return lm
 
     # -- queries -----------------------------------------------------------
 
