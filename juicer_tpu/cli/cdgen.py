@@ -17,6 +17,7 @@ _TYPES = {
     "monophone": CDType.MONOPHONE,
     "monophoneann": CDType.MONOPHONE_ANN,
     "xwrdtri": CDType.XWORD_TRIPHONE,
+    "xwrdtrindi": CDType.XWORD_TRIPHONE_NDI,
 }
 
 

@@ -34,6 +34,7 @@ class CDType(Enum):
     MONOPHONE = "monophone"
     MONOPHONE_ANN = "monophone-ann"
     XWORD_TRIPHONE = "xwrdtri"
+    XWORD_TRIPHONE_NDI = "xwrdtrindi"
 
 
 class CDPhoneLookup:
@@ -152,6 +153,10 @@ class CDGen:
             if ci_pause is None:
                 ci_pause = self.lookup.have_ci_pause()
             f = self._build_xword_triphone_detinv(ci_pause)
+        elif self.cd_type == CDType.XWORD_TRIPHONE_NDI:
+            if ci_pause is None:
+                ci_pause = self.lookup.have_ci_pause()
+            f = self._build_xword_triphone_ndi(self.lookup.have_ci_silence(), ci_pause)
         else:
             raise ValueError("invalid CD type")
         # AUXLOOP: aux self-loops on every state
@@ -193,6 +198,94 @@ class CDGen:
                 raise ValueError(f"no model for monophone {ps[i]!r}")
             f.add_arc(s, s, mi + 1, i + 1, 0.0)
         f.set_final(s, 0.0)
+        return f
+
+    # -- cross-word triphone, NON-deterministic inverse --------------------
+
+    def _build_xword_triphone_ndi(self, ci_sil: bool, ci_pause: bool) -> Fst:
+        """`writeFSMXWordTriphoneNonDetInv` (`WFSTCDGen.cpp:1100+`): states
+        are (center, right) lookahead pairs, output = CENTER phone; requires
+        ph2+ph3 and ph1-ph2 biphones in the tied list for word starts/ends."""
+        ps = self.lookup.phone_set
+        sil = ps.sil_index
+        sil_model = self.lookup.get_model_ind(ps[sil]) if sil >= 0 else -1
+        if ci_sil and (sil < 0 or sil_model < 0):
+            raise ValueError("ci_sil requires a CI silence model")
+        sp = ps.pause_index
+        sp_model = self.lookup.get_model_ind(ps[sp]) if sp >= 0 else -1
+        if ci_pause and (sp < 0 or sp_model < 0):
+            raise ValueError("ci_pause requires a CI pause model")
+
+        f = Fst(LOG)
+        states: dict[tuple, int] = {}
+
+        def st(key: tuple, create: bool = True) -> int:
+            s = states.get(key)
+            if s is None:
+                if not create:
+                    return -1
+                s = f.add_state()
+                states[key] = s
+            return s
+
+        eps_st = st(("E",))
+        f.set_start(eps_st)
+
+        if ci_sil:
+            # (8a/8b) sil from (eps,eps) -> (sil,eps) and self-loop
+            sil_end = st((sil, -1))
+            f.add_arc(eps_st, sil_end, sil_model + 1, sil + 1, 0.0)
+            f.add_arc(sil_end, sil_end, sil_model + 1, sil + 1, 0.0)
+
+        for (l, c, r), model in self.lookup.all_model_info():
+            if c < 0:
+                raise ValueError("CD phone with no center")
+            if l < 0 and r < 0:
+                if (ci_sil and c == sil) or (ci_pause and c == sp):
+                    continue
+                raise ValueError(f"invalid monophone in tied list: {ps[c]}")
+            if l < 0:
+                # (1/9) ph2+ph3: (eps,eps) -> (ph2,ph3) with model/ph2
+                f.add_arc(eps_st, st((c, r)), model + 1, c + 1, 0.0)
+            elif r < 0:
+                if ci_sil and l == sil:
+                    # (10) sil-ph2: (sil,eps) -> (ph2,eps)
+                    f.add_arc(st((sil, -1)), st((c, -1)), model + 1, c + 1, 0.0)
+                else:
+                    # (3) ph1-ph2: (ph1,ph2) -> (ph2,eps)
+                    f.add_arc(st((l, c)), st((c, -1)), model + 1, c + 1, 0.0)
+            else:
+                if ci_sil and l == sil:
+                    # (7) sil-ph2+ph3: (sil,eps) -> (ph2,ph3)
+                    f.add_arc(st((sil, -1)), st((c, r)), model + 1, c + 1, 0.0)
+                else:
+                    # (4/6) ph1-ph2+ph3: (ph1,ph2) -> (ph2,ph3)
+                    f.add_arc(st((l, c)), st((c, r)), model + 1, c + 1, 0.0)
+
+        if ci_sil:
+            # (8c) sil from every existing (x,sil) to (sil,eps)
+            to = st((sil, -1), create=False)
+            if to < 0:
+                raise ValueError("(sil,eps) state missing")
+            for i in range(len(ps)):
+                if i == sil or (ci_pause and i == sp):
+                    continue
+                frm = st((i, sil), create=False)
+                if frm >= 0:
+                    f.add_arc(frm, to, sil_model + 1, sil + 1, 0.0)
+
+        if ci_pause:
+            # (5) sp self-loop on every state
+            for s in range(f.num_states):
+                f.add_arc(s, s, sp_model + 1, sp + 1, 0.0)
+
+        # finals: every existing (x,eps)
+        for i in range(len(ps)):
+            if ci_pause and i == sp:
+                continue
+            s = st((i, -1), create=False)
+            if s >= 0:
+                f.set_final(s, 0.0)
         return f
 
     # -- cross-word triphone, deterministic inverse ------------------------

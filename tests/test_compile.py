@@ -213,6 +213,33 @@ class TestCDGen:
         got_models = [model_names[i - 1] for i in il]
         assert got_models == ["sil", "sil-ah+k", "ah-k+sil", "sil"], got_models
 
+    def test_xwrd_triphone_ndi(self, res):
+        """Non-det-inverse variant: lookahead (center,right) states, output
+        = center phone; needs ph2+ph3 / ph1-ph2 biphones."""
+        ps = res["phone_set"]
+        sil = ps.sil_index
+        ah, k = ps.get_index("ah"), ps.get_index("k")
+        model_names = sorted({
+            "sil",
+            "ah+k", "k+ah",            # word-initial biphones
+            "ah-k", "k-ah",            # word-final biphones
+            "sil-ah+k", "sil-k+ah",    # post-silence triphones
+            "ah-k+sil", "k-ah+sil",    # pre-silence lookahead triphones
+            "ah-k+ah", "k-ah+k",
+        })
+        lookup = CDPhoneLookup(ps)
+        lookup.add_phones(model_names)
+        lookup.bind_models(model_names)
+        gen = CDGen(CDType.XWORD_TRIPHONE_NDI, lookup, model_names)
+        c = gen.build(ci_pause=False)
+        assert c.num_states > 0
+        phone_seq = [sil, ah, k, sil]
+        acc = linear_acceptor([p + 1 for p in phone_seq])
+        comp = algos.compose(c, algos.project(acc))
+        cost, il, _ = algos.shortest_path(comp)
+        got = [model_names[i - 1] for i in il]
+        assert got == ["sil", "sil-ah+k", "ah-k+sil", "sil"], got
+
     def test_aux_loops_present(self, res):
         ps = res["phone_set"]
         lookup = CDPhoneLookup(ps)
