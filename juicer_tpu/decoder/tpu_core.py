@@ -471,77 +471,58 @@ class TpuDecoder:
         fr = fr2
         n_live = jnp.sum((key_s < dead).astype(jnp.int32))
 
-        # sort candidates by (arc [,g] asc, score desc, index asc), payload
-        # carried through the sort
-        e_ids = jnp.arange(self.E, dtype=jnp.int32)
-        sort_arc = jnp.where(cand["valid"], cand["arc"], dead)
-        sort_score = jnp.where(cand["valid"], -cand["score"], jnp.asarray(-NEG, dt))
-        if otf:
-            cg = jnp.where(cand["valid"], cand["g"], 0)
-            c_ops = [sort_arc, cg, sort_score, e_ids, cand["ac"], cand["lm"],
-                     cand["prev"], cand["seq"]]
-            if pushing:
-                c_ops.append(cand["la"])
-            sorted_c = jax.lax.sort(tuple(c_ops), num_keys=4)
-            (c_arc, c_g, c_negscore, _ids, c_ac, c_lm, c_prev, c_seq) = sorted_c[:8]
-            c_la = sorted_c[8] if pushing else None
-            run_first = jnp.concatenate(
-                [jnp.ones((1,), bool),
-                 (c_arc[1:] != c_arc[:-1]) | (c_g[1:] != c_g[:-1])]
-            )
-        else:
-            (c_arc, c_negscore, _ids, c_ac, c_lm, c_prev, c_seq) = jax.lax.sort(
-                (sort_arc, sort_score, e_ids, cand["ac"], cand["lm"], cand["prev"],
-                 cand["seq"]),
-                num_keys=3,
-            )
-            c_g = None
-            run_first = jnp.concatenate(
-                [jnp.ones((1,), bool), c_arc[1:] != c_arc[:-1]]
-            )
-        winner = run_first & (c_arc < dead)
-        w_score = jnp.where(winner, -c_negscore, NEG)
-
-        # existing-slot lookup without search or gather: co-sort frontier
-        # arcs (kind 0) with winner arcs (kind 1), CARRYING the winner
-        # payload through the sort. A winner merges into a frontier slot iff
-        # its immediate predecessor in the combined order is a frontier row
-        # with the same arc; the slot index and new-slot allocations come
-        # from prefix sums, and one packed unique-index row scatter lands
-        # everything in K space.
+        # ONE co-sort does recombination AND slot lookup: frontier rows
+        # (kind 0) and ALL candidates (kind 1) sorted by
+        # (arc[, g], kind, -score) with payloads carried through. Within a
+        # (arc[, g]) group the frontier head (if any) comes first, then
+        # candidates best-first (stable sort keeps index order on ties) —
+        # the group's FIRST candidate is the segment-max winner, and it
+        # merges into an existing slot iff the group has a frontier head.
         Z = jnp.zeros((K,), dt)
         ZI = jnp.zeros((K,), jnp.int32)
-        comb_key = jnp.concatenate([fr["arc"], jnp.where(winner, c_arc, dead)])
+        comb_key = jnp.concatenate(
+            [fr["arc"], jnp.where(cand["valid"], cand["arc"], dead)]
+        )
         comb_kind = jnp.concatenate(
             [jnp.zeros((K,), jnp.int32), jnp.ones((self.E,), jnp.int32)]
         )
+        comb_negscore = jnp.concatenate(
+            [Z, jnp.where(cand["valid"], -cand["score"], jnp.asarray(-NEG, dt))]
+        )
         comb_ops = [comb_key]
         if otf:
-            comb_ops.append(jnp.concatenate([fr["g"], c_g]))
+            comb_ops.append(
+                jnp.concatenate([fr["g"], jnp.where(cand["valid"], cand["g"], 0)])
+            )
         comb_ops += [
             comb_kind,
-            jnp.concatenate([Z, w_score]),
-            jnp.concatenate([Z, c_ac]),
-            jnp.concatenate([Z, c_lm]),
-            jnp.concatenate([ZI, c_prev]),
-            jnp.concatenate([ZI, c_seq]),
+            comb_negscore,
+            jnp.concatenate([Z, cand["ac"]]),
+            jnp.concatenate([Z, cand["lm"]]),
+            jnp.concatenate([ZI, cand["prev"]]),
+            jnp.concatenate([ZI, cand["seq"]]),
         ]
         if pushing:
-            comb_ops.append(jnp.concatenate([Z, c_la]))
-        sorted_comb = jax.lax.sort(tuple(comb_ops), num_keys=3 if otf else 2)
+            comb_ops.append(jnp.concatenate([Z, cand["la"]]))
+        sorted_comb = jax.lax.sort(
+            tuple(comb_ops), num_keys=4 if otf else 3, is_stable=True
+        )
         if otf:
-            (ck, cgk, ckind, g_score, g_ac, g_lm, g_prev, g_seq) = sorted_comb[:8]
+            (ck, cgk, ckind, g_negscore, g_ac, g_lm, g_prev, g_seq) = sorted_comb[:8]
             same_key = (ck[1:] == ck[:-1]) & (cgk[1:] == cgk[:-1])
         else:
-            (ck, ckind, g_score, g_ac, g_lm, g_prev, g_seq) = sorted_comb[:7]
+            (ck, ckind, g_negscore, g_ac, g_lm, g_prev, g_seq) = sorted_comb[:7]
             cgk = None
             same_key = ck[1:] == ck[:-1]
         g_la = sorted_comb[-1] if pushing else None
+        g_score = -g_negscore
         is_cand = ckind == 1
         prev_same_frontier = jnp.concatenate(
             [jnp.zeros((1,), bool), same_key & (ckind[:-1] == 0)]
         )
-        winner_c = is_cand & (ck < dead)
+        prev_same_group = jnp.concatenate([jnp.zeros((1,), bool), same_key])
+        first_cand = is_cand & (~prev_same_group | prev_same_frontier)
+        winner_c = first_cand & (ck < dead)
         ccount = jnp.cumsum(ckind) - ckind  # candidates strictly before
         q_idx = jnp.arange(K + self.E, dtype=jnp.int32)
         f_before = q_idx - ccount
