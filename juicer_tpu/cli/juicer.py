@@ -65,6 +65,14 @@ def make_parser():
     p.add_argument("-speakerNamePattern", default=None,
                    help="regex with one capture group extracting the speaker "
                         "from the utterance name")
+    # model-space MLLR with regression classes (the reference reaches this
+    # via HTKLib HAdapt config through HModels; here it is a flag pair)
+    p.add_argument("-mllrXformFile", default=None,
+                   help="HTK transform file (MLLRMEAN <XFORMSET>) applied to "
+                        "the Gaussian means at load time")
+    p.add_argument("-regClassFile", default=None,
+                   help="HTK ~b base-class file assigning mixture components "
+                        "to regression classes for -mllrXformFile")
     p.add_argument("-doModelsIOTest", action="store_true",
                    help="round-trip the acoustic models through text and "
                         "binary formats and verify scores agree")
@@ -91,16 +99,25 @@ def load_models(args):
     from ..am import AcousticModelSet
     from ..lexicon import PhoneSet
 
+    def adapt(models):
+        if not args.mllrXformFile:
+            return models
+        from ..am.regtree import apply_mllr_means, parse_baseclass, parse_xformset
+
+        xset = parse_xformset(args.mllrXformFile)
+        bc = parse_baseclass(args.regClassFile) if args.regClassFile else None
+        return apply_mllr_means(models, xset, bc)
+
     if args.htkModelsFName:
         cache = args.htkModelsFName + ".npz"
         if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(
             args.htkModelsFName
         ):
-            return AcousticModelSet.load_npz(cache)
+            return adapt(AcousticModelSet.load_npz(cache))
         models = AcousticModelSet.from_mmf(args.htkModelsFName)
         if args.writeBinaryFiles:
             models.save_npz(cache)
-        return models
+        return adapt(models)
     if args.priorsFName and args.monoListFName:
         ps = PhoneSet(args.monoListFName)
         priors = np.loadtxt(args.priorsFName).reshape(-1)
