@@ -92,6 +92,12 @@ def make_parser():
                         "converge (the reference's microphone loop)")
     p.add_argument("-loopChunk", type=int, default=50,
                    help="frames per streaming chunk in -loop mode")
+    p.add_argument("-audioDevice", default=None,
+                   help="in -loop mode, capture S16LE PCM audio: an ALSA "
+                        "device name (via arecord), or '-' to read raw PCM "
+                        "from stdin, running the MFCC front end live "
+                        "(the Tracter ASRFactory capture chain)")
+    p.add_argument("-audioSampleRate", type=int, default=16000)
     return p
 
 
@@ -135,20 +141,41 @@ def run_loop(args, dec, scorer, models, out_names):
     D = models.vec_size
     chunk_frames = max(1, args.loopChunk)
     stream = dec.stream()
-    raw = _sys.stdin.buffer
-    frame_bytes = 4 * D
-    while True:
-        data = raw.read(frame_bytes * chunk_frames)
-        if not data:
-            break
-        n = len(data) // frame_bytes
-        if n == 0:
-            break
-        feats = np.frombuffer(data[: n * frame_bytes], dtype="<f4").reshape(n, D)
+
+    def emit(feats):
         sc = np.asarray(scorer(feats)) if not models.hybrid_mode else feats - np.asarray(models.log_priors)[None, :]
         for h in stream.feed(sc):
             name = out_names[h.word - 1] if 0 < h.word <= len(out_names) else "<?>"
             print(f"partial: {name} (frame {h.end_frame})", flush=True)
+
+    if args.audioDevice:
+        # live audio: PCM -> streaming MFCC front end -> decoder
+        from ..harness.capture import PcmSource, capture_features
+
+        if args.audioDevice == "-":
+            src = PcmSource(stream=_sys.stdin.buffer, sample_rate=args.audioSampleRate)
+        else:
+            src = PcmSource(device=args.audioDevice, sample_rate=args.audioSampleRate)
+        try:
+            for feats in capture_features(src, chunk_samples=chunk_frames * 160):
+                if feats.shape[1] != D:
+                    raise SystemExit(
+                        f"juicer: front end dim {feats.shape[1]} != model dim {D}"
+                    )
+                emit(feats)
+        finally:
+            src.close()
+    else:
+        raw = _sys.stdin.buffer
+        frame_bytes = 4 * D
+        while True:
+            data = raw.read(frame_bytes * chunk_frames)
+            if not data:
+                break
+            n = len(data) // frame_bytes
+            if n == 0:
+                break
+            emit(np.frombuffer(data[: n * frame_bytes], dtype="<f4").reshape(n, D))
     final = stream.finish()
     words = " ".join(
         out_names[w - 1] if 0 < w <= len(out_names) else "<?>" for w in final.words
