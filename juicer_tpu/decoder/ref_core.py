@@ -119,6 +119,9 @@ class DecodeResult:
     lm_score: float
     n_frames: int
     avg_active: float = 0.0  # mean active insts per frame (observability)
+    max_active: int = 0  # peak frontier occupancy (budget autotuning)
+    max_cand: int = 0  # peak per-frame expansion candidates
+    overflow: bool = False  # a frontier/expansion budget bound somewhere
 
     @property
     def empty(self) -> bool:

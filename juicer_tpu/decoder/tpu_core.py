@@ -361,7 +361,7 @@ class TpuDecoder:
         return dict(
             arc=cand_arc, score=cand_score, ac=cand_ac, lm=cand_lm,
             prev=s_path, seq=cand_seq, valid=valid & (cand_score > NEG / 2),
-            overflow=total > E, extra=rows[:, 7:],
+            overflow=total > E, n_cand=total, extra=rows[:, 7:],
         )
 
     def _expand_finals(self, src_score, src_ac, src_lm, src_path, base, fan, live,
@@ -824,6 +824,7 @@ class TpuDecoder:
             ys["bf_path"] = best_final["path"]
             ys["bf_seq"] = best_final["seq"]
             ys["n_active"] = rec["n_active"]
+            ys["n_cand"] = cand["n_cand"]
         if lat:
             # lattice edges: every valid candidate (winner or not) is a
             # lattice transition, from the exiting token's entry EVENT to
@@ -1002,15 +1003,24 @@ class TpuDecoder:
             T = true_T
         else:
             bf = jax.tree.map(np.asarray, carry["best_final"])
-        if bool(np.asarray(carry["overflow"])):
+        overflow = bool(np.asarray(carry["overflow"]))
+        if overflow:
             import warnings
 
             warnings.warn(
                 "TpuDecoder: expansion/frontier budget overflow; results may be pruned"
             )
+        na = np.asarray(ys.get("n_active", np.zeros(1)))
+        nc = np.asarray(ys.get("n_cand", np.zeros(1)))
+        stats = dict(
+            avg_active=float(na[:T].mean()) if na.size else 0.0,
+            max_active=int(na[:T].max()) if na.size else 0,
+            max_cand=int(nc[:T].max()) if nc.size else 0,
+            overflow=overflow,
+        )
         score = float(bf["score"])
         if score <= NEG / 2:
-            return DecodeResult([], [], NEG, NEG, NEG, T)
+            return DecodeResult([], [], NEG, NEG, NEG, T, **stats)
         rec_prev = np.asarray(ys["rec_prev"]).reshape(-1)
         rec_seq = np.asarray(ys["rec_seq"]).reshape(-1)
         rec_score = np.asarray(ys["rec_score"]).reshape(-1)
@@ -1048,7 +1058,6 @@ class TpuDecoder:
                 hyps.append(WordHyp(lab, frame, s, a, l))
             pid = prev
         hyps.reverse()
-        na = np.asarray(ys.get("n_active", np.zeros(1)))
         return DecodeResult(
             words=[h.word for h in hyps],
             word_hyps=hyps,
@@ -1056,7 +1065,7 @@ class TpuDecoder:
             acoustic_score=float(bf["ac"]),
             lm_score=float(bf["lm"]),
             n_frames=T,
-            avg_active=float(na[:T].mean()) if na.size else 0.0,
+            **stats,
         )
 
 
