@@ -32,16 +32,22 @@ def main():
         K, E = 256, 1024
     else:
         n_words, n_phones, vec, B, T, iters = 200, 40, 39, 32, 1000, 5
-        K, E = 1024, 4096
+        K, E = 128, 512
 
     task = make_synth_task(
         n_words=n_words, n_phones=n_phones, vec_size=vec, n_comps=8, seed=0
     )
-    dec = TpuDecoder(
-        task.artifact,
-        TpuDecoderConfig(max_insts=K, expand_budget=E, final_budget=256,
-                         emit_diagnostics=False),
-    )
+    # Beam-pruned operating point, like the reference's published numbers
+    # (WSJ pruning study, main beam 150-250: `juicer_userman.tex:606-673`).
+    # On this corpus the beam is verified loss-free: 1-best output matches
+    # the unpruned decode exactly (beam sweep 75-300, see git history), and
+    # the budgets (autotuned: peak 49 active / 48 candidates at beam 150)
+    # are certified by the overflow check below — if a budget ever bound,
+    # the run aborts rather than report a pruned-result throughput.
+    beams = dict(emit_prune_win=150.0, phone_end_prune_win=75.0)
+    cfg = TpuDecoderConfig(max_insts=K, expand_budget=E, final_budget=128,
+                           emit_diagnostics=False, **beams)
+    dec = TpuDecoder(task.artifact, cfg)
     scorer = make_gmm_scorer(task.models.flat_params())
 
     def one(scores):
@@ -73,6 +79,20 @@ def main():
         distinct.append(f)
     feats = np.stack([distinct[i % len(distinct)] for i in range(B)])
     feats = jnp.asarray(feats, jnp.float32)
+
+    # certification pass: decode each distinct utterance with diagnostics on
+    # and assert no frontier/expansion budget ever bound (overflow False =>
+    # results are bit-identical to unbounded budgets at these beams)
+    import dataclasses
+
+    diag = TpuDecoder(task.artifact, dataclasses.replace(cfg, emit_diagnostics=True))
+    for f in distinct:
+        r = diag.decode_scores(np.asarray(scorer(jnp.asarray(f, jnp.float32))))
+        if r.overflow or not r.words:
+            raise SystemExit(
+                f"bench: budget overflow (peak {r.max_active}/{r.max_cand}) — "
+                "throughput at these budgets would report pruned results"
+            )
 
     # warm up (compile)
     out = step(feats)
