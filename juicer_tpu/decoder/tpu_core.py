@@ -489,14 +489,20 @@ class TpuDecoder:
         comb_negscore = jnp.concatenate(
             [Z, jnp.where(cand["valid"], -cand["score"], jnp.asarray(-NEG, dt))]
         )
-        comb_ops = [comb_key]
         if otf:
-            comb_ops.append(
-                jnp.concatenate([fr["g"], jnp.where(cand["valid"], cand["g"], 0)])
-            )
+            # key order must be (arc, G state, kind): keep separate keys
+            comb_ops = [
+                comb_key,
+                jnp.concatenate([fr["g"], jnp.where(cand["valid"], cand["g"], 0)]),
+                comb_kind,
+                comb_negscore,
+            ]
+        else:
+            # pack (arc, kind) into one int key: same lexicographic order,
+            # one fewer operand through the bitonic network (arc < 2^24 is
+            # already required by the f32 packed tables, so arc*2+1 fits)
+            comb_ops = [comb_key * 2 + comb_kind, comb_negscore]
         comb_ops += [
-            comb_kind,
-            comb_negscore,
             jnp.concatenate([Z, cand["ac"]]),
             jnp.concatenate([Z, cand["lm"]]),
             jnp.concatenate([ZI, cand["prev"]]),
@@ -505,13 +511,15 @@ class TpuDecoder:
         if pushing:
             comb_ops.append(jnp.concatenate([Z, cand["la"]]))
         sorted_comb = jax.lax.sort(
-            tuple(comb_ops), num_keys=4 if otf else 3, is_stable=True
+            tuple(comb_ops), num_keys=4 if otf else 2, is_stable=True
         )
         if otf:
             (ck, cgk, ckind, g_negscore, g_ac, g_lm, g_prev, g_seq) = sorted_comb[:8]
             same_key = (ck[1:] == ck[:-1]) & (cgk[1:] == cgk[:-1])
         else:
-            (ck, ckind, g_negscore, g_ac, g_lm, g_prev, g_seq) = sorted_comb[:7]
+            (pk, g_negscore, g_ac, g_lm, g_prev, g_seq) = sorted_comb[:6]
+            ck = pk // 2
+            ckind = pk % 2
             cgk = None
             same_key = ck[1:] == ck[:-1]
         g_la = sorted_comb[-1] if pushing else None
