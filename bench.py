@@ -31,7 +31,9 @@ def main():
         n_words, n_phones, vec, B, T, iters = 30, 16, 20, 2, 100, 2
         K, E = 256, 1024
     else:
-        n_words, n_phones, vec, B, T, iters = 200, 40, 39, 32, 1000, 5
+        # B=128 is the measured utilization sweet spot at this frontier
+        # size (B=32: 112k, B=64: 122k, B=128: 137k, B=256: 104k fps)
+        n_words, n_phones, vec, B, T, iters = 200, 40, 39, 128, 1000, 5
         K, E = 128, 512
 
     task = make_synth_task(
