@@ -34,7 +34,11 @@ def main():
         # B=128 is the measured utilization sweet spot at this frontier
         # size (B=32: 112k, B=64: 122k, B=128: 137k, B=256: 104k fps)
         n_words, n_phones, vec, B, T, iters = 200, 40, 39, 128, 1000, 5
-        K, E = 128, 512
+        # per-frame cost is dominated by the (K+E)-row co-sort (ablation
+        # profile: scripts/profile_step.py), so budgets sit as low as the
+        # in-run certification allows: measured peak 49 active insts / 48
+        # candidates at these beams, certified non-binding below
+        K, E = 128, 128
 
     task = make_synth_task(
         n_words=n_words, n_phones=n_phones, vec_size=vec, n_comps=8, seed=0

@@ -71,12 +71,14 @@ def autotune_budgets(
 
     max_active = max(r.max_active for r in ref_results)
     max_cand = max(r.max_cand for r in ref_results)
-    # frontier slots: TPU sublane/lane alignment likes multiples of 128;
-    # expansion: multiples of 512 keep the segment-broadcast scan shapely
+    # lane-aligned multiples of 128 for both: per-frame cost is dominated by
+    # the (K+E)-row co-sort and scales ~linearly in K+E (measured on v5e:
+    # E 512->128 at K=128 is ~2x decode throughput), so budgets should sit
+    # as low as the margin allows
     tuned = dataclasses.replace(
         base,
         max_insts=min(_round_up(max_active * margin, 128), probe.max_insts),
-        expand_budget=min(_round_up(max_cand * margin, 512), probe.expand_budget),
+        expand_budget=min(_round_up(max_cand * margin, 128), probe.expand_budget),
         final_budget=probe.final_budget,
     )
     if tuned.max_insts >= probe.max_insts and tuned.expand_budget >= probe.expand_budget:

@@ -685,7 +685,10 @@ class TpuDecoder:
         best_emit = jnp.max(jnp.where(pass_emit, e_score, NEG))
         if cfg.max_emit_hyps > 0:
             flat = jnp.where(pass_emit, e_score, NEG).reshape(-1)
-            kth = jax.lax.top_k(flat, cfg.max_emit_hyps)[0][-1]
+            # a frontier of K*S tokens can never hold more than K*S live
+            # hyps, so clamping k is exact: the k-th-best threshold can only
+            # bind when more than k real hypotheses exist
+            kth = jax.lax.top_k(flat, min(cfg.max_emit_hyps, flat.shape[0]))[0][-1]
             kth_emit = jnp.where(kth > NEG / 2, kth, NEG)
         else:
             kth_emit = jnp.asarray(NEG, dt)

@@ -6,13 +6,20 @@ mimicking det(C∘det(L∘G)) statistics: the reference's WSJ 20k machine is
 compilation (native closure), and measures beam-pruned decode throughput
 with histogram pruning and realistic frontier sizes.
 
-Usage: python scripts/scale_bench.py [n_arcs] [K] [E]
+Usage: python scripts/scale_bench.py [n_arcs] [K] [E] [--batch B]
+
+With --batch B the decode is vmapped over B parallel utterance streams
+(the cluster-job-splitting equivalent, SURVEY.md §2.7, collapsed onto one
+chip) and throughput is reported in aggregate frames/s/chip.
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_big_network(n_arcs=1_000_000, n_models=2000, n_words=20000, seed=0):
@@ -43,13 +50,21 @@ def build_big_network(n_arcs=1_000_000, n_models=2000, n_words=20000, seed=0):
 
 
 def main():
+    import jax
     import jax.numpy as jnp
 
-    n_arcs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    K = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
-    E = int(sys.argv[3]) if len(sys.argv) > 3 else 32768
+    args = list(sys.argv[1:])
+    B = 0
+    if "--batch" in args:
+        i = args.index("--batch")
+        B = int(args[i + 1])
+        del args[i : i + 2]
+    n_arcs = int(args[0]) if len(args) > 0 else 1_000_000
+    K = int(args[1]) if len(args) > 1 else 8192
+    E = int(args[2]) if len(args) > 2 else 32768
 
-    sys.path.insert(0, "tests")
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests"))
     from test_decoder import make_models
     from juicer_tpu.decoder.artifact import DecoderArtifact
     from juicer_tpu.decoder.tpu_core import TpuDecoder, TpuDecoderConfig
@@ -80,6 +95,28 @@ def main():
 
     T = 500
     rng = np.random.default_rng(2)
+    if B:
+        scores = jnp.asarray(
+            rng.normal(scale=3.0, size=(B, T, models.n_gmms)), jnp.float32
+        )
+
+        def one(s):
+            carry, ys, rec0 = dec._decode_scan(s.astype(dec._dt))
+            return carry["best_final"]["score"], carry["overflow"]
+
+        f = jax.jit(jax.vmap(one))
+        t0 = time.time()
+        sc, ov = f(scores)
+        sc.block_until_ready()
+        print(f"decode compile+run: {time.time()-t0:.1f}s "
+              f"(overflow: {int(np.sum(np.asarray(ov)))}/{B})")
+        t0 = time.time()
+        sc, ov = f(scores)
+        sc.block_until_ready()
+        dt = time.time() - t0
+        print(f"decode steady (batch {B}): {dt:.2f}s = {B*T/dt:.0f} frames/s/chip "
+              f"({dt/T*1e3:.2f} ms/frame-row)")
+        return
     scores = jnp.asarray(rng.normal(scale=3.0, size=(T, models.n_gmms)), jnp.float32)
     t0 = time.time()
     res = dec.decode_scores(scores)

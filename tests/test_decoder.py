@@ -234,6 +234,22 @@ class TestTpuParity:
         assert r_ref.words == r_tpu.words
         assert abs(r_ref.score - r_tpu.score) < 1e-5
 
+    def test_max_emit_hyps_above_capacity(self):
+        # a k larger than the frontier's K*S token capacity can never bind;
+        # the TPU core must clamp top_k's k instead of crashing
+        models = make_models(4, seed=17)
+        f = Fst(LOG)
+        s0 = f.add_state()
+        f.set_start(s0)
+        for w in range(4):
+            f.add_arc(s0, s0, w + 1, w + 1, 0.5)
+        f.set_final(s0, 0.0)
+        r_plain, r_tpu_plain = run_both(f, models, T=20, seed=19)
+        r_ref, r_tpu = run_both(f, models, T=20, seed=19,
+                                cfg=dict(max_emit_hyps=100000))
+        assert r_tpu.words == r_tpu_plain.words == r_ref.words
+        assert abs(r_tpu.score - r_tpu_plain.score) < 1e-9
+
     def test_lm_scale_and_ins_pen(self):
         models = make_models(6, seed=23)
         fst, _ = make_linear_net(3, 2)
