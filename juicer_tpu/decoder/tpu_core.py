@@ -291,12 +291,19 @@ class TpuDecoder:
     def _empty_frontier(self):
         K, S = self.K, self.S
         dt = self._dt
+        # NOTE: there is no "lm" plane. Because every weight in the system
+        # lands in exactly one of {acoustic, LM} and the per-frame score
+        # normalization is a global scalar, score = ac + lm - N_t holds for
+        # every live token (N_t = cumulative normalization, carried as one
+        # scalar). LM scores are reconstructed as score - ac + N_t at record
+        # creation; search never reads them. This removes S sort operands
+        # from the frontier-restore sort and one from the merge co-sort —
+        # the two ops that dominate the frame step (scripts/profile_step.py).
         fr = {
             # arc = n_arcs+1 is the dead-slot sentinel (sorts last)
             "arc": jnp.full((K,), self.n_arcs + 1, jnp.int32),
             "score": jnp.full((K, S), NEG, dt),
             "ac": jnp.full((K, S), NEG, dt),
-            "lm": jnp.full((K, S), NEG, dt),
             "path": jnp.full((K, S), -1, jnp.int32),
         }
         if self.otf:
@@ -313,12 +320,14 @@ class TpuDecoder:
     # expansion
     # ------------------------------------------------------------------
 
-    def _expand(self, src_score, src_ac, src_lm, src_path, base, fan, live,
+    def _expand(self, src_score, src_ac, src_path, base, fan, live,
                 extra=()):
         """Fixed-budget expansion of exiting tokens through the closure
         tables. src_* are (K,) token fields; base/fan index the packed
         entry table rows for each source. `extra` (K,) fields are broadcast
-        to candidates and returned under cand["extra"]."""
+        to candidates and returned under cand["extra"]. LM deltas are not
+        propagated (see _empty_frontier: lm = score - ac + N_t; the entry
+        table's w_score is exactly w_lm + w_ac, artifact.py)."""
         dev = self.dev
         dt = self._dt
         K, E = src_score.shape[0], self.E
@@ -334,7 +343,6 @@ class TpuDecoder:
             [
                 src_score,
                 src_ac,
-                src_lm,
                 src_path.astype(dt),
                 base.astype(dt),
                 fan.astype(dt),
@@ -344,31 +352,33 @@ class TpuDecoder:
             axis=1,
         )
         rows, filled = _segment_broadcast(src_pack, offs, fan > 0, E)
-        s_score, s_ac, s_lm = rows[:, 0], rows[:, 1], rows[:, 2]
-        s_path = rows[:, 3].astype(jnp.int32)
-        s_base = rows[:, 4].astype(jnp.int32)
-        s_fan = rows[:, 5].astype(jnp.int32)
-        s_offs = rows[:, 6].astype(jnp.int32)
+        s_score, s_ac = rows[:, 0], rows[:, 1]
+        s_path = rows[:, 2].astype(jnp.int32)
+        s_base = rows[:, 3].astype(jnp.int32)
+        s_fan = rows[:, 4].astype(jnp.int32)
+        s_offs = rows[:, 5].astype(jnp.int32)
         within = e_idx - s_offs
         valid = filled & (e_idx < total) & (within < s_fan)
         ent = jnp.clip(s_base + within, 0, dev["ent_pack"].shape[0] - 1)
         erow = dev["ent_pack"][ent]  # (E, 5): the one sparse row-gather
         cand_arc = jnp.where(valid, erow[:, 0].astype(jnp.int32), 0)
         cand_score = jnp.where(valid, s_score + erow[:, 1], NEG)
-        cand_lm = s_lm + erow[:, 2]
         cand_ac = s_ac + erow[:, 3]
         cand_seq = erow[:, 4].astype(jnp.int32)
         return dict(
-            arc=cand_arc, score=cand_score, ac=cand_ac, lm=cand_lm,
+            arc=cand_arc, score=cand_score, ac=cand_ac,
             prev=s_path, seq=cand_seq, valid=valid & (cand_score > NEG / 2),
-            overflow=total > E, n_cand=total, extra=rows[:, 7:],
+            overflow=total > E, n_cand=total, extra=rows[:, 6:],
         )
 
-    def _expand_finals(self, src_score, src_ac, src_lm, src_path, base, fan, live,
-                       best, extra=()):
+    def _expand_finals(self, src_score, src_ac, src_path, base, fan, live,
+                       best, norm, extra=()):
         """Final-state candidates (bestFinalToken updates). Returns
         (best, overflow, records) — records carry all valid final
-        candidates for lattice final-state registration."""
+        candidates for lattice final-state registration. `norm` is the
+        cumulative score normalization N_t; LM components are reconstructed
+        as score - ac + N_t (exit tokens are lookahead-free: pushing
+        compensation happens before final expansion)."""
         dev = self.dev
         dt = self._dt
         K, F = src_score.shape[0], self.F
@@ -380,7 +390,6 @@ class TpuDecoder:
             [
                 src_score,
                 src_ac,
-                src_lm,
                 src_path.astype(dt),
                 base.astype(dt),
                 fan.astype(dt),
@@ -390,30 +399,31 @@ class TpuDecoder:
             axis=1,
         )
         rows, filled = _segment_broadcast(src_pack, offs, fan > 0, F)
-        within = e_idx - rows[:, 6].astype(jnp.int32)
-        valid = filled & (e_idx < total) & (within < rows[:, 5].astype(jnp.int32))
+        within = e_idx - rows[:, 5].astype(jnp.int32)
+        valid = filled & (e_idx < total) & (within < rows[:, 4].astype(jnp.int32))
         ent = jnp.clip(
-            rows[:, 4].astype(jnp.int32) + within, 0, dev["f_pack"].shape[0] - 1
+            rows[:, 3].astype(jnp.int32) + within, 0, dev["f_pack"].shape[0] - 1
         )
         frow = dev["f_pack"][ent]  # (F, 4)
         sc = jnp.where(valid, rows[:, 0] + frow[:, 0], NEG)
+        ac = rows[:, 1] + frow[:, 2]
         i = jnp.argmax(sc)
         better = sc[i] > best["score"]
         new = {
             "score": jnp.where(better, sc[i], best["score"]),
-            "ac": jnp.where(better, rows[i, 1] + frow[i, 2], best["ac"]),
-            "lm": jnp.where(better, rows[i, 2] + frow[i, 1], best["lm"]),
-            "path": jnp.where(better, rows[i, 3].astype(jnp.int32), best["path"]),
+            "ac": jnp.where(better, ac[i], best["ac"]),
+            "lm": jnp.where(better, sc[i] - ac[i] + norm, best["lm"]),
+            "path": jnp.where(better, rows[i, 2].astype(jnp.int32), best["path"]),
             "seq": jnp.where(better, frow[i, 3].astype(jnp.int32), best["seq"]),
         }
         records = {
             "score": sc,
-            "ac": rows[:, 1] + frow[:, 2],
-            "lm": rows[:, 2] + frow[:, 1],
-            "path": rows[:, 3].astype(jnp.int32),
+            "ac": ac,
+            "lm": sc - ac + norm,
+            "path": rows[:, 2].astype(jnp.int32),
             "seq": frow[:, 3].astype(jnp.int32),
             "valid": valid,
-            "extra": rows[:, 7:],
+            "extra": rows[:, 6:],
         }
         return new, total > F, records
 
@@ -421,9 +431,11 @@ class TpuDecoder:
     # recombination + insertion
     # ------------------------------------------------------------------
 
-    def _merge_and_insert(self, fr, cand, t):
+    def _merge_and_insert(self, fr, cand, t, norm):
         """Sort-based segment-max recombination, then insertion keeping the
-        frontier sorted by arc id."""
+        frontier sorted by arc id. `norm` is the cumulative normalization
+        N_t used to reconstruct record LM scores (lm = score - ac + N_t,
+        minus the just-applied lookahead in OTF pushing mode)."""
         K, S = self.K, self.S
         dt = self._dt
         dead = jnp.int32(self.n_arcs + 1)
@@ -437,17 +449,22 @@ class TpuDecoder:
         # arc invariant and compacts live rows to the front in one bitonic
         # pass, payload carried through the sort
         key = jnp.where(live, fr["arc"], dead)
-        # lax.sort sorts along the last axis of each operand; pass the (K, S)
-        # payloads as S separate (K,) operands. In OTF mode the slot key is
-        # the PAIR (arc, G state) and every sort gets g as a secondary key.
+        # lax.sort sorts along the last axis of each operand; pass the (K,)
+        # payload columns as separate operands. Only the S-2 INTERIOR state
+        # columns ride along: at this point (post-internal-propagation,
+        # pre-insertion) the entry column 0 and exit column S-1 of every
+        # plane are always dead — the entry slot is written by the
+        # insertion below and exit tokens were consumed by the expansion.
+        # In OTF mode the slot key is the PAIR (arc, G state) and every
+        # sort gets g as a secondary key.
         otf = self.otf
         lat = self.cfg.gen_lattice
-        names = ("score", "ac", "lm", "path") + (("lat",) if lat else ())
-        fills = {"score": NEG, "ac": NEG, "lm": NEG, "path": -1, "lat": -1}
+        names = ("score", "ac", "path") + (("lat",) if lat else ())
+        fills = {"score": NEG, "ac": NEG, "path": -1, "lat": -1}
         pushing = self.pushing
         ops = [key] + ([fr["g"]] if otf else [])
         for name in names:
-            for j in range(S):
+            for j in range(1, S - 1):
                 ops.append(fr[name][:, j])
         if pushing:
             ops.append(fr["push_la"])
@@ -459,14 +476,18 @@ class TpuDecoder:
             fr2["g"] = jnp.where(key_s >= dead, 0, sorted_ops[1])
             idx = 2
         if pushing:
-            fr2["push_la"] = jnp.where(key_s >= dead, 0.0, sorted_ops[-1])
+            fr2["push_la"] = jnp.where(key_s >= dead, jnp.asarray(0.0, dt),
+                                       sorted_ops[-1])
         for name in names:
             fill = fills[name]
-            cols = []
-            for j in range(S):
+            dtype = fr[name].dtype
+            fill_col = jnp.full((K,), fill, dtype)
+            cols = [fill_col]
+            for j in range(1, S - 1):
                 c = sorted_ops[idx]
                 idx += 1
                 cols.append(jnp.where(key_s >= dead, jnp.asarray(fill, c.dtype), c))
+            cols.append(fill_col)
             fr2[name] = jnp.stack(cols, axis=1)
         fr = fr2
         n_live = jnp.sum((key_s < dead).astype(jnp.int32))
@@ -504,7 +525,6 @@ class TpuDecoder:
             comb_ops = [comb_key * 2 + comb_kind, comb_negscore]
         comb_ops += [
             jnp.concatenate([Z, cand["ac"]]),
-            jnp.concatenate([Z, cand["lm"]]),
             jnp.concatenate([ZI, cand["prev"]]),
             jnp.concatenate([ZI, cand["seq"]]),
         ]
@@ -514,16 +534,19 @@ class TpuDecoder:
             tuple(comb_ops), num_keys=4 if otf else 2, is_stable=True
         )
         if otf:
-            (ck, cgk, ckind, g_negscore, g_ac, g_lm, g_prev, g_seq) = sorted_comb[:8]
+            (ck, cgk, ckind, g_negscore, g_ac, g_prev, g_seq) = sorted_comb[:7]
             same_key = (ck[1:] == ck[:-1]) & (cgk[1:] == cgk[:-1])
         else:
-            (pk, g_negscore, g_ac, g_lm, g_prev, g_seq) = sorted_comb[:6]
+            (pk, g_negscore, g_ac, g_prev, g_seq) = sorted_comb[:5]
             ck = pk // 2
             ckind = pk % 2
             cgk = None
             same_key = ck[1:] == ck[:-1]
         g_la = sorted_comb[-1] if pushing else None
         g_score = -g_negscore
+        # record LM = score - ac + N_t, minus the new arc's outstanding
+        # lookahead in pushing mode (it is in score but not yet in the LM)
+        g_lm = g_score - g_ac + norm - (g_la if pushing else 0.0)
         is_cand = ckind == 1
         prev_same_frontier = jnp.concatenate(
             [jnp.zeros((1,), bool), same_key & (ckind[:-1] == 0)]
@@ -571,7 +594,6 @@ class TpuDecoder:
         arc_new = jnp.where(got, landed[:, 0].astype(jnp.int32), fr["arc"])
         score = fr["score"].at[:, 0].set(jnp.where(got, landed[:, 1], NEG))
         ac = fr["ac"].at[:, 0].set(jnp.where(got, landed[:, 2], NEG))
-        lm = fr["lm"].at[:, 0].set(jnp.where(got, landed[:, 3], NEG))
         path = fr["path"].at[:, 0].set(
             jnp.where(got, landed[:, 4].astype(jnp.int32), -1)
         )
@@ -593,7 +615,7 @@ class TpuDecoder:
         }
 
         best_new = jnp.max(jnp.where(w_ok, g_score, NEG))
-        fr_new = {"arc": arc_new, "score": score, "ac": ac, "lm": lm, "path": path}
+        fr_new = {"arc": arc_new, "score": score, "ac": ac, "path": path}
         if otf:
             fr_new["g"] = jnp.where(got, landed[:, 9].astype(jnp.int32), fr["g"])
         if pushing:
@@ -625,6 +647,9 @@ class TpuDecoder:
         normalise = jnp.where(
             carry["best_emit"] > NEG / 2, carry["best_emit"], 0.0
         ).astype(dt)
+        # cumulative normalization N_t: all live token scores are offset by
+        # exactly this much, so lm = score - ac + N_t at any record point
+        norm = carry["norm"] + normalise
 
         # emit threshold (exact top-k "histogram" ∧ main beam)
         if cfg.max_emit_hyps > 0:
@@ -669,14 +694,12 @@ class TpuDecoder:
         oh = jax.lax.broadcasted_iota(jnp.int32, (K, S, S), 1) == best_i[:, None, :]
         ohf = oh.astype(dt)
         new_ac = jnp.einsum("kij,ki->kj", ohf, fr["ac"]) + jnp.sum(ohf * trP, axis=1)
-        new_lm = jnp.einsum("kij,ki->kj", ohf, fr["lm"])
         new_path = jnp.sum(oh * fr["path"][:, :, None], axis=1, dtype=jnp.int32)
 
         ns = new_score - normalise
         pass_emit = emitting & (ns > emit_thresh) & (new_score > NEG / 2)
         e_score = jnp.where(pass_emit, ns + outp, NEG)
         e_ac = jnp.where(pass_emit, new_ac + outp, NEG)
-        e_lm = jnp.where(pass_emit, new_lm, NEG)
         e_path = jnp.where(pass_emit, new_path, -1)
         if cfg.gen_lattice:
             new_lat = jnp.sum(oh * fr["lat"][:, :, None], axis=1, dtype=jnp.int32)
@@ -695,7 +718,6 @@ class TpuDecoder:
 
         score2 = jnp.where(emitting, e_score, NEG)
         ac2 = jnp.where(emitting, e_ac, NEG)
-        lm2 = jnp.where(emitting, e_lm, NEG)
         path2 = jnp.where(emitting, e_path, -1)
 
         # exit state via one-hot over the winning emitting j
@@ -708,13 +730,12 @@ class TpuDecoder:
         exit_ok = exit_score > NEG / 2
         exit_score = jnp.where(exit_ok, exit_score, NEG)
         exit_ac = jnp.where(exit_ok, jnp.sum(ohjf * (ac2 + exit_w), axis=1), NEG)
-        exit_lm = jnp.where(exit_ok, jnp.sum(ohjf * lm2, axis=1), NEG)
         exit_path = jnp.where(
             exit_ok, jnp.sum(ohj * path2, axis=1, dtype=jnp.int32), -1
         )
         best_end = jnp.max(exit_score)
 
-        fr2 = {"arc": fr["arc"], "score": score2, "ac": ac2, "lm": lm2, "path": path2}
+        fr2 = {"arc": fr["arc"], "score": score2, "ac": ac2, "path": path2}
         if cfg.gen_lattice:
             fr2["lat"] = lat2
             exit_lat = jnp.where(
@@ -754,12 +775,12 @@ class TpuDecoder:
             ((exit_lat,) if lat else ()) + ((fr["g"],) if self.otf else ())
         )
         cand = self._expand(
-            exit_score, exit_ac, exit_lm, exit_path, ent_base, ent_fan, live_exit,
+            exit_score, exit_ac, exit_path, ent_base, ent_fan, live_exit,
             extra=extra,
         )
         best_final, f_overflow, frecs = self._expand_finals(
-            exit_score, exit_ac, exit_lm, exit_path, f_base, f_fan, live_exit,
-            carry_best_zero(dt), extra=extra,
+            exit_score, exit_ac, exit_path, f_base, f_fan, live_exit,
+            carry_best_zero(dt), norm, extra=extra,
         )
         if self.otf:
             # intersect crossed word labels with G (match-or-backoff); the
@@ -769,8 +790,6 @@ class TpuDecoder:
             g2, gw, okg = self._g_advance_seq(g0, cand["seq"])
             cand["g"] = g2
             cand["score"] = jnp.where(okg, cand["score"] + gw, NEG)
-            cand["lm"] = cand["lm"] + gw
-            cand["ac"] = cand["ac"]
             cand["valid"] = cand["valid"] & okg
             if self.pushing:
                 # label-and-weight pushing: add the G weight of the target
@@ -806,7 +825,7 @@ class TpuDecoder:
                 "seq": jnp.where(fbetter, frecs["seq"][fi], 0),
             }
 
-        fr, rec, best_entry, m_overflow = self._merge_and_insert(fr, cand, t)
+        fr, rec, best_entry, m_overflow = self._merge_and_insert(fr, cand, t, norm)
 
         best_emit = jnp.maximum(best_emit, best_entry)
         best_start = best_entry
@@ -817,6 +836,7 @@ class TpuDecoder:
             "best_start": best_start,
             "kth_emit": kth_emit,
             "best_final": best_final,
+            "norm": norm,
             "overflow": carry["overflow"] | cand["overflow"] | m_overflow | f_overflow,
         }
         ys = {
@@ -846,7 +866,12 @@ class TpuDecoder:
             ys["lat_from_ev"] = cand["extra"][:, 0].astype(jnp.int32)
             ys["lat_to_arc"] = cand["arc"]
             ys["lat_ac"] = cand["ac"]
-            ys["lat_lm"] = cand["lm"]
+            # reconstructed cumulative LM (see _empty_frontier); subtract
+            # the outstanding lookahead in pushing mode
+            ys["lat_lm"] = (
+                cand["score"] - cand["ac"] + norm
+                - (cand["la"] if self.pushing else 0.0)
+            )
             ys["lat_seq"] = cand["seq"]
             ys["lat_valid"] = cand["valid"]
             ys["flat_from_ev"] = frecs["extra"][:, 0].astype(jnp.int32)
@@ -887,18 +912,18 @@ class TpuDecoder:
             ((jnp.full((K,), -1, jnp.int32),) if lat else ())
             + ((jnp.full((K,), self.g.init_state, jnp.int32),) if self.otf else ())
         )
-        cand = self._expand(src_score, src_zero, src_zero, src_path, base, fan, live,
+        norm0 = jnp.asarray(0.0, dt)
+        cand = self._expand(src_score, src_zero, src_path, base, fan, live,
                             extra=extra)
         best_final, f_ov, _frecs = self._expand_finals(
-            src_score, src_zero, src_zero, src_path, fb, ff, live,
-            carry_best_zero(dt), extra=extra,
+            src_score, src_zero, src_path, fb, ff, live,
+            carry_best_zero(dt), norm0, extra=extra,
         )
         if self.otf:
             g0 = cand["extra"][:, -1].astype(jnp.int32)
             g2, gw, okg = self._g_advance_seq(g0, cand["seq"])
             cand["g"] = g2
             cand["score"] = jnp.where(okg, cand["score"] + gw, NEG)
-            cand["lm"] = cand["lm"] + gw
             cand["valid"] = cand["valid"] & okg
             if self.pushing:
                 pl = self.dev["push_label"][jnp.minimum(cand["arc"], self.n_arcs + 1)]
@@ -910,12 +935,15 @@ class TpuDecoder:
                 )
                 cand["la"] = la
             best_final = carry_best_zero(dt)  # empty-utterance final unused
-        fr, rec0, best_entry, m_ov = self._merge_and_insert(fr, cand, -1)
+        fr, rec0, best_entry, m_ov = self._merge_and_insert(fr, cand, -1, norm0)
         if lat:
             rec0["lat_from_ev"] = cand["extra"][:, 0].astype(jnp.int32)
             rec0["lat_to_arc"] = cand["arc"]
             rec0["lat_ac"] = cand["ac"]
-            rec0["lat_lm"] = cand["lm"]
+            rec0["lat_lm"] = (
+                cand["score"] - cand["ac"] + norm0
+                - (cand["la"] if self.pushing else 0.0)
+            )
             rec0["lat_seq"] = cand["seq"]
             rec0["lat_valid"] = cand["valid"]
             if self.otf:
@@ -926,6 +954,7 @@ class TpuDecoder:
             "best_start": best_entry,
             "kth_emit": jnp.asarray(NEG, dt),
             "best_final": best_final,
+            "norm": norm0,
             "overflow": cand["overflow"] | m_ov | f_ov,
         }
         return carry, rec0

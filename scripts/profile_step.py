@@ -81,7 +81,7 @@ def main():
         tc.jax.lax.sort = orig_sort
 
     # 2. no co-sort: replace merge_and_insert with a cheap fake
-    def fake_merge(self, fr, cand, t):
+    def fake_merge(self, fr, cand, t, norm):
         K = self.K
         dt = self._dt
         rec = {
@@ -103,7 +103,7 @@ def main():
     TpuDecoder._merge_and_insert = orig_merge
 
     # 3. no expansion (segment broadcast + entry gather); feed zero cands
-    def fake_expand(self, src_score, src_ac, src_lm, src_path, base, fan, live,
+    def fake_expand(self, src_score, src_ac, src_path, base, fan, live,
                     extra=()):
         E = self.E
         dt = self._dt
@@ -112,7 +112,6 @@ def main():
             arc=jnp.zeros((E,), jnp.int32),
             score=jnp.full((E,), tpu_core.NEG, dt) + dep,
             ac=jnp.full((E,), tpu_core.NEG, dt),
-            lm=jnp.full((E,), tpu_core.NEG, dt),
             prev=jnp.full((E,), -1, jnp.int32),
             seq=jnp.zeros((E,), jnp.int32),
             valid=jnp.zeros((E,), bool),
@@ -125,8 +124,8 @@ def main():
     no_expand = run("no entry expansion")
     TpuDecoder._expand = orig_expand
 
-    def fake_finals(self, src_score, src_ac, src_lm, src_path, base, fan, live,
-                    best, extra=()):
+    def fake_finals(self, src_score, src_ac, src_path, base, fan, live,
+                    best, norm, extra=()):
         F = self.F
         dt = self._dt
         recs = {
