@@ -132,6 +132,12 @@ class TpuDecoder:
         ):
             raise ValueError("network too large for f32 packed tables; use float64")
 
+        # merge co-sort key packing (arc, kind, slot) -> one int32: needs
+        # (dead_sentinel * 2 + 1) * K + (K - 1) to fit (static mode only;
+        # OTF keys stay separate). Falls back to a separate kindslot
+        # operand for giant networks.
+        self._pack_slot_ok = (self.n_arcs + 2) * 2 * self.K < (1 << 31)
+
         ex = artifact.expansion
 
         def pad1(x, fill=0):
@@ -432,97 +438,80 @@ class TpuDecoder:
     # ------------------------------------------------------------------
 
     def _merge_and_insert(self, fr, cand, t, norm):
-        """Sort-based segment-max recombination, then insertion keeping the
-        frontier sorted by arc id. `norm` is the cumulative normalization
-        N_t used to reconstruct record LM scores (lm = score - ac + N_t,
-        minus the just-applied lookahead in OTF pushing mode)."""
+        """Sort-based segment-max recombination + insertion. `norm` is the
+        cumulative normalization N_t used to reconstruct record LM scores
+        (lm = score - ac + N_t, minus the just-applied lookahead in OTF
+        pushing mode).
+
+        The frontier lives in ARBITRARY slot order: each frontier row
+        carries its slot id through the merge co-sort (packed into the low
+        bits of the kind key, so the operand count is unchanged), which
+        replaces the former sorted-by-arc invariant — and with it the
+        10-operand frontier-restore sort that used to cost half the frame
+        step (profiled on v5e: 272k -> see git history). Merge hits land in
+        the preceding frontier row's carried slot; new winners are ranked
+        by a prefix sum and matched to free slots (ranked the same way)
+        with an exact one-hot matmul — no data-dependent gather."""
         K, S = self.K, self.S
         dt = self._dt
         dead = jnp.int32(self.n_arcs + 1)
 
-        # liveness: any token in states 0..S-2
+        # liveness: any token in states 0..S-2 (the entry column 0 and exit
+        # column S-1 are always NEG at this point, post-internal-
+        # propagation: entry is rewritten by the insertion below and exit
+        # tokens were consumed by the expansion)
         live = jnp.any(fr["score"][:, : S - 1] > NEG / 2, axis=1) & (
             fr["arc"] <= self.n_arcs
         ) & (fr["arc"] >= 0)
-
-        # sort frontier rows by (live ? arc : dead): restores the sorted-by-
-        # arc invariant and compacts live rows to the front in one bitonic
-        # pass, payload carried through the sort
-        key = jnp.where(live, fr["arc"], dead)
-        # lax.sort sorts along the last axis of each operand; pass the (K,)
-        # payload columns as separate operands. Only the S-2 INTERIOR state
-        # columns ride along: at this point (post-internal-propagation,
-        # pre-insertion) the entry column 0 and exit column S-1 of every
-        # plane are always dead — the entry slot is written by the
-        # insertion below and exit tokens were consumed by the expansion.
-        # In OTF mode the slot key is the PAIR (arc, G state) and every
-        # sort gets g as a secondary key.
-        otf = self.otf
-        lat = self.cfg.gen_lattice
-        names = ("score", "ac", "path") + (("lat",) if lat else ())
-        fills = {"score": NEG, "ac": NEG, "path": -1, "lat": -1}
-        pushing = self.pushing
-        ops = [key] + ([fr["g"]] if otf else [])
-        for name in names:
-            for j in range(1, S - 1):
-                ops.append(fr[name][:, j])
-        if pushing:
-            ops.append(fr["push_la"])
-        sorted_ops = jax.lax.sort(tuple(ops), num_keys=2 if otf else 1)
-        key_s = sorted_ops[0]
-        idx = 1
-        fr2 = {"arc": jnp.where(key_s >= dead, dead, key_s)}
-        if otf:
-            fr2["g"] = jnp.where(key_s >= dead, 0, sorted_ops[1])
-            idx = 2
-        if pushing:
-            fr2["push_la"] = jnp.where(key_s >= dead, jnp.asarray(0.0, dt),
-                                       sorted_ops[-1])
-        for name in names:
-            fill = fills[name]
-            dtype = fr[name].dtype
-            fill_col = jnp.full((K,), fill, dtype)
-            cols = [fill_col]
-            for j in range(1, S - 1):
-                c = sorted_ops[idx]
-                idx += 1
-                cols.append(jnp.where(key_s >= dead, jnp.asarray(fill, c.dtype), c))
-            cols.append(fill_col)
-            fr2[name] = jnp.stack(cols, axis=1)
-        fr = fr2
-        n_live = jnp.sum((key_s < dead).astype(jnp.int32))
+        arc_cur = jnp.where(live, fr["arc"], dead)
+        n_live = jnp.sum(live.astype(jnp.int32))
 
         # ONE co-sort does recombination AND slot lookup: frontier rows
-        # (kind 0) and ALL candidates (kind 1) sorted by
-        # (arc[, g], kind, -score) with payloads carried through. Within a
-        # (arc[, g]) group the frontier head (if any) comes first, then
-        # candidates best-first (stable sort keeps index order on ties) —
-        # the group's FIRST candidate is the segment-max winner, and it
-        # merges into an existing slot iff the group has a frontier head.
+        # (kind 0, at most one per group by the slot-uniqueness invariant)
+        # and ALL candidates (kind 1) sorted by (arc[, g], kind, -score)
+        # with payloads carried through. Within a (arc[, g]) group the
+        # frontier head (if any) comes first, then candidates best-first
+        # (stable sort keeps index order on ties) — the group's FIRST
+        # candidate is the segment-max winner, and it merges into an
+        # existing slot iff the group has a frontier head.
+        otf = self.otf
+        lat = self.cfg.gen_lattice
+        pushing = self.pushing
         Z = jnp.zeros((K,), dt)
         ZI = jnp.zeros((K,), jnp.int32)
         comb_key = jnp.concatenate(
-            [fr["arc"], jnp.where(cand["valid"], cand["arc"], dead)]
+            [arc_cur, jnp.where(cand["valid"], cand["arc"], dead)]
         )
-        comb_kind = jnp.concatenate(
-            [jnp.zeros((K,), jnp.int32), jnp.ones((self.E,), jnp.int32)]
+        # kind*K + slot in one operand: frontier rows get kindslot = their
+        # slot id (< K), candidates get exactly K. The slot bits sit below
+        # the kind bit and are unique per group (one frontier row per
+        # (arc[, g])), so the lexicographic group order is unchanged.
+        comb_kindslot = jnp.concatenate(
+            [
+                jnp.arange(K, dtype=jnp.int32),
+                jnp.full((self.E,), K, jnp.int32),
+            ]
         )
         comb_negscore = jnp.concatenate(
             [Z, jnp.where(cand["valid"], -cand["score"], jnp.asarray(-NEG, dt))]
         )
         if otf:
-            # key order must be (arc, G state, kind): keep separate keys
+            # key order must be (arc, G state, kindslot): separate keys
             comb_ops = [
                 comb_key,
                 jnp.concatenate([fr["g"], jnp.where(cand["valid"], cand["g"], 0)]),
-                comb_kind,
+                comb_kindslot,
                 comb_negscore,
             ]
+            nk = 4
+        elif self._pack_slot_ok:
+            # pack (arc, kind, slot) into one int key: same lexicographic
+            # order, one fewer operand through the bitonic network
+            comb_ops = [comb_key * (2 * K) + comb_kindslot, comb_negscore]
+            nk = 2
         else:
-            # pack (arc, kind) into one int key: same lexicographic order,
-            # one fewer operand through the bitonic network (arc < 2^24 is
-            # already required by the f32 packed tables, so arc*2+1 fits)
-            comb_ops = [comb_key * 2 + comb_kind, comb_negscore]
+            comb_ops = [comb_key, comb_kindslot, comb_negscore]
+            nk = 3
         comb_ops += [
             jnp.concatenate([Z, cand["ac"]]),
             jnp.concatenate([ZI, cand["prev"]]),
@@ -530,18 +519,22 @@ class TpuDecoder:
         ]
         if pushing:
             comb_ops.append(jnp.concatenate([Z, cand["la"]]))
-        sorted_comb = jax.lax.sort(
-            tuple(comb_ops), num_keys=4 if otf else 2, is_stable=True
-        )
+        sorted_comb = jax.lax.sort(tuple(comb_ops), num_keys=nk, is_stable=True)
         if otf:
-            (ck, cgk, ckind, g_negscore, g_ac, g_prev, g_seq) = sorted_comb[:7]
+            (ck, cgk, kindslot, g_negscore, g_ac, g_prev, g_seq) = sorted_comb[:7]
             same_key = (ck[1:] == ck[:-1]) & (cgk[1:] == cgk[:-1])
-        else:
+        elif self._pack_slot_ok:
             (pk, g_negscore, g_ac, g_prev, g_seq) = sorted_comb[:5]
-            ck = pk // 2
-            ckind = pk % 2
+            kindslot = pk % (2 * K)
+            ck = pk // (2 * K)
             cgk = None
             same_key = ck[1:] == ck[:-1]
+        else:
+            (ck, kindslot, g_negscore, g_ac, g_prev, g_seq) = sorted_comb[:6]
+            cgk = None
+            same_key = ck[1:] == ck[:-1]
+        ckind = kindslot // K  # 0 = frontier row, 1 = candidate
+        cslot = kindslot % K  # carried slot id (frontier rows only)
         g_la = sorted_comb[-1] if pushing else None
         g_score = -g_negscore
         # record LM = score - ac + N_t, minus the new arc's outstanding
@@ -552,16 +545,36 @@ class TpuDecoder:
             [jnp.zeros((1,), bool), same_key & (ckind[:-1] == 0)]
         )
         prev_same_group = jnp.concatenate([jnp.zeros((1,), bool), same_key])
+        prev_slot = jnp.concatenate([ZI[:1], cslot[:-1]])
         first_cand = is_cand & (~prev_same_group | prev_same_frontier)
         winner_c = first_cand & (ck < dead)
-        ccount = jnp.cumsum(ckind) - ckind  # candidates strictly before
-        q_idx = jnp.arange(K + self.E, dtype=jnp.int32)
-        f_before = q_idx - ccount
         hit = winner_c & prev_same_frontier
         need_new = winner_c & ~prev_same_frontier
-        alloc = n_live + jnp.cumsum(need_new.astype(jnp.int32)) - 1
-        overflow = jnp.any(need_new & (alloc >= K))
-        slot = jnp.where(hit, f_before - 1, jnp.where(need_new, alloc, -1))
+        # rank new winners and free slots by the same prefix-sum order and
+        # match rank i to rank i with an exact one-hot matmul
+        nn_i = need_new.astype(jnp.int32)
+        new_rank = jnp.cumsum(nn_i) - nn_i
+        n_free = K - n_live
+        overflow = jnp.any(need_new & (new_rank >= n_free))
+        free = ~live
+        fi = free.astype(jnp.int32)
+        free_rank = jnp.cumsum(fi) - fi
+        ohm = (
+            need_new[:, None]
+            & free[None, :]
+            & (new_rank[:, None] == free_rank[None, :])
+        )
+        # exact integer select-reduce (fuses into one VPU loop; a one-hot
+        # f32 matmul here materializes a (K+E, K) operand per frame and
+        # lowers to a batched GEMV — measured much slower)
+        slot_new = jnp.sum(
+            jnp.where(ohm, jnp.arange(K, dtype=jnp.int32)[None, :], 0), axis=1
+        )
+        slot = jnp.where(
+            hit,
+            prev_slot,
+            jnp.where(need_new & (new_rank < n_free), slot_new, -1),
+        )
         w_ok = winner_c & (slot >= 0) & (slot < K)
         slot_w = jnp.where(w_ok, slot, K)  # K = out of bounds -> dropped
 
@@ -591,7 +604,7 @@ class TpuDecoder:
         landed = landed.at[slot_w].set(payload, mode="drop", unique_indices=True)
         got = landed[:, 8] > 0.5
 
-        arc_new = jnp.where(got, landed[:, 0].astype(jnp.int32), fr["arc"])
+        arc_new = jnp.where(got, landed[:, 0].astype(jnp.int32), arc_cur)
         score = fr["score"].at[:, 0].set(jnp.where(got, landed[:, 1], NEG))
         ac = fr["ac"].at[:, 0].set(jnp.where(got, landed[:, 2], NEG))
         path = fr["path"].at[:, 0].set(
@@ -607,11 +620,9 @@ class TpuDecoder:
             "lm": jnp.where(rec_valid, landed[:, 3], NEG),
             # observability: surviving + newly allocated insts this frame
             # (the reference's avgActiveModels counters,
-            # `WFSTDecoderLite.cpp:230-241`); hits land inside the live
-            # prefix and must not be double-counted
-            "n_active": n_live + jnp.sum(
-                (got & (jnp.arange(K) >= n_live)).astype(jnp.int32)
-            ),
+            # `WFSTDecoderLite.cpp:230-241`); hits land on live slots and
+            # must not be double-counted
+            "n_active": jnp.sum((live | got).astype(jnp.int32)),
         }
 
         best_new = jnp.max(jnp.where(w_ok, g_score, NEG))
