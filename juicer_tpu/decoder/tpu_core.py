@@ -14,9 +14,9 @@ The `WFSTDecoderLite` token-passing loop re-designed for XLA (SURVEY.md §7):
     matmuls, see ops/gmm.py);
   - recursive eps/tee `propagateToken` -> precomputed per-arc expansion
     tables (see artifact.py) consumed by a fixed-budget gather;
-  - hypothesis recombination -> candidates sorted by (arc, -score, index)
-    with `lax.sort` (a parallel bitonic network), winner = first of each
-    run;
+  - hypothesis recombination -> per-(arc)-group argmax via a dense (E, E)
+    boolean compare at original candidate positions (payloads never move;
+    no bitonic network in the frame step at all);
   - histogram pruning (`Histogram::calcThresh`) -> exact k-th-best
     threshold via top_k (strictly tighter than the reference's
     integer-binned approximation);
@@ -28,7 +28,7 @@ TPU performance rules baked in (profiled on v5e):
   - arbitrary-index gathers/scatters serialize per *index*; every lookup is
     either a single packed row-gather, a one-hot MXU matmul (exact: one-hot
     rows have a single 1), a dense vectorized searchsorted (compare_all),
-    or payload carried through a sort;
+    or a dense boolean compare matrix reduced in place;
   - the only scatter left is the unique-index packed winner insertion.
 
 The whole per-utterance decode is ONE `lax.scan` over frames inside jit.
@@ -132,11 +132,6 @@ class TpuDecoder:
         ):
             raise ValueError("network too large for f32 packed tables; use float64")
 
-        # merge co-sort key packing (arc, kind, slot) -> one int32: needs
-        # (dead_sentinel * 2 + 1) * K + (K - 1) to fit (static mode only;
-        # OTF keys stay separate). Falls back to a separate kindslot
-        # operand for giant networks.
-        self._pack_slot_ok = (self.n_arcs + 2) * 2 * self.K < (1 << 31)
 
         ex = artifact.expansion
 
@@ -438,21 +433,23 @@ class TpuDecoder:
     # ------------------------------------------------------------------
 
     def _merge_and_insert(self, fr, cand, t, norm):
-        """Sort-based segment-max recombination + insertion. `norm` is the
-        cumulative normalization N_t used to reconstruct record LM scores
-        (lm = score - ac + N_t, minus the just-applied lookahead in OTF
-        pushing mode).
+        """Sort-free dense segment-max recombination + dense slot routing.
+        `norm` is the cumulative normalization N_t used to reconstruct
+        record LM scores (lm = score - ac + N_t, minus the just-applied
+        lookahead in OTF pushing mode).
 
-        The frontier lives in ARBITRARY slot order: each frontier row
-        carries its slot id through the merge co-sort (packed into the low
-        bits of the kind key, so the operand count is unchanged), which
-        replaces the former sorted-by-arc invariant — and with it the
-        10-operand frontier-restore sort that used to cost half the frame
-        step (profiled on v5e: 272k -> see git history). Merge hits land in
-        the preceding frontier row's carried slot; new winners are ranked
-        by a prefix sum and matched to free slots (ranked the same way)
-        with an exact one-hot matmul — no data-dependent gather."""
-        K, S = self.K, self.S
+        Recombination winners (per-(arc[, g])-group argmax, ties broken by
+        lowest candidate index like the reference's first-come merge) are
+        found with a dense (E, E) boolean compare at ORIGINAL positions —
+        payloads never move, so the former (K+E)-row multi-operand bitonic
+        co-sort (the dominant per-frame cost) disappears entirely. The
+        frontier lives in ARBITRARY slot order and holds at most ONE live
+        slot per (arc[, g]) key (the slot-uniqueness invariant), so routing
+        a winner into its existing slot is a dense (E, K) equality compare
+        + integer select-reduce. New winners are ranked by a prefix sum and
+        matched to free slots (ranked the same way) with an exact one-hot
+        select — no data-dependent gather anywhere."""
+        K, S, E = self.K, self.S, self.E
         dt = self._dt
         dead = jnp.int32(self.n_arcs + 1)
 
@@ -466,92 +463,52 @@ class TpuDecoder:
         arc_cur = jnp.where(live, fr["arc"], dead)
         n_live = jnp.sum(live.astype(jnp.int32))
 
-        # ONE co-sort does recombination AND slot lookup: frontier rows
-        # (kind 0, at most one per group by the slot-uniqueness invariant)
-        # and ALL candidates (kind 1) sorted by (arc[, g], kind, -score)
-        # with payloads carried through. Within a (arc[, g]) group the
-        # frontier head (if any) comes first, then candidates best-first
-        # (stable sort keeps index order on ties) — the group's FIRST
-        # candidate is the segment-max winner, and it merges into an
-        # existing slot iff the group has a frontier head.
         otf = self.otf
         lat = self.cfg.gen_lattice
         pushing = self.pushing
-        Z = jnp.zeros((K,), dt)
-        ZI = jnp.zeros((K,), jnp.int32)
-        comb_key = jnp.concatenate(
-            [arc_cur, jnp.where(cand["valid"], cand["arc"], dead)]
-        )
-        # kind*K + slot in one operand: frontier rows get kindslot = their
-        # slot id (< K), candidates get exactly K. The slot bits sit below
-        # the kind bit and are unique per group (one frontier row per
-        # (arc[, g])), so the lexicographic group order is unchanged.
-        comb_kindslot = jnp.concatenate(
-            [
-                jnp.arange(K, dtype=jnp.int32),
-                jnp.full((self.E,), K, jnp.int32),
-            ]
-        )
-        comb_negscore = jnp.concatenate(
-            [Z, jnp.where(cand["valid"], -cand["score"], jnp.asarray(-NEG, dt))]
-        )
-        if otf:
-            # key order must be (arc, G state, kindslot): separate keys
-            comb_ops = [
-                comb_key,
-                jnp.concatenate([fr["g"], jnp.where(cand["valid"], cand["g"], 0)]),
-                comb_kindslot,
-                comb_negscore,
-            ]
-            nk = 4
-        elif self._pack_slot_ok:
-            # pack (arc, kind, slot) into one int key: same lexicographic
-            # order, one fewer operand through the bitonic network
-            comb_ops = [comb_key * (2 * K) + comb_kindslot, comb_negscore]
-            nk = 2
-        else:
-            comb_ops = [comb_key, comb_kindslot, comb_negscore]
-            nk = 3
-        comb_ops += [
-            jnp.concatenate([Z, cand["ac"]]),
-            jnp.concatenate([ZI, cand["prev"]]),
-            jnp.concatenate([ZI, cand["seq"]]),
-        ]
-        if pushing:
-            comb_ops.append(jnp.concatenate([Z, cand["la"]]))
-        sorted_comb = jax.lax.sort(tuple(comb_ops), num_keys=nk, is_stable=True)
-        if otf:
-            (ck, cgk, kindslot, g_negscore, g_ac, g_prev, g_seq) = sorted_comb[:7]
-            same_key = (ck[1:] == ck[:-1]) & (cgk[1:] == cgk[:-1])
-        elif self._pack_slot_ok:
-            (pk, g_negscore, g_ac, g_prev, g_seq) = sorted_comb[:5]
-            kindslot = pk % (2 * K)
-            ck = pk // (2 * K)
-            cgk = None
-            same_key = ck[1:] == ck[:-1]
-        else:
-            (ck, kindslot, g_negscore, g_ac, g_prev, g_seq) = sorted_comb[:6]
-            cgk = None
-            same_key = ck[1:] == ck[:-1]
-        ckind = kindslot // K  # 0 = frontier row, 1 = candidate
-        cslot = kindslot % K  # carried slot id (frontier rows only)
-        g_la = sorted_comb[-1] if pushing else None
-        g_score = -g_negscore
+        valid = cand["valid"]
+        ck = jnp.where(valid, cand["arc"], dead)
+        cg = cand["g"] if otf else None
+        g_score = jnp.where(valid, cand["score"], NEG)
+        g_ac, g_prev, g_seq = cand["ac"], cand["prev"], cand["seq"]
+        g_la = cand["la"] if pushing else None
         # record LM = score - ac + N_t, minus the new arc's outstanding
         # lookahead in pushing mode (it is in score but not yet in the LM)
         g_lm = g_score - g_ac + norm - (g_la if pushing else 0.0)
-        is_cand = ckind == 1
-        prev_same_frontier = jnp.concatenate(
-            [jnp.zeros((1,), bool), same_key & (ckind[:-1] == 0)]
+        # dense segment-max winner detection AT ORIGINAL POSITIONS: within a
+        # (arc[, g]) key group the winner is the best-scoring candidate,
+        # ties broken by lowest index (the reference's first-come tie
+        # break). An (E, E) boolean compare finds it without moving any
+        # payload — no bitonic network anywhere in the merge (the former
+        # (K+E)-row multi-operand co-sort WAS the dominant per-frame cost,
+        # scripts/profile_step.py). NOTE this is not the failed
+        # counting-rank experiment from the working notes: that still
+        # computed a full permutation + row scatter; here order is never
+        # materialized, only the per-group argmax mask.
+        e_iota = jnp.arange(E, dtype=jnp.int32)
+        same = valid[:, None] & valid[None, :] & (ck[:, None] == ck[None, :])
+        if otf:
+            same &= cg[:, None] == cg[None, :]
+        beats = same & (
+            (g_score[:, None] > g_score[None, :])
+            | ((g_score[:, None] == g_score[None, :]) & (e_iota[:, None] < e_iota[None, :]))
         )
-        prev_same_group = jnp.concatenate([jnp.zeros((1,), bool), same_key])
-        prev_slot = jnp.concatenate([ZI[:1], cslot[:-1]])
-        first_cand = is_cand & (~prev_same_group | prev_same_frontier)
-        winner_c = first_cand & (ck < dead)
-        hit = winner_c & prev_same_frontier
-        need_new = winner_c & ~prev_same_frontier
+        winner_c = valid & ~jnp.any(beats, axis=0)
+        # dense slot routing: match each winner's key against the live
+        # frontier (exact integer select-reduce; a one-hot f32 matmul here
+        # materializes an (E, K) operand per frame and lowers to a batched
+        # GEMV — measured much slower on the old (K+E, K) variant)
+        km = jnp.arange(K, dtype=jnp.int32)[None, :]
+        matchm = (
+            winner_c[:, None] & live[None, :] & (ck[:, None] == arc_cur[None, :])
+        )
+        if otf:
+            matchm &= cg[:, None] == fr["g"][None, :]
+        hit = jnp.any(matchm, axis=1)
+        slot_hit = jnp.sum(jnp.where(matchm, km, 0), axis=1)
+        need_new = winner_c & ~hit
         # rank new winners and free slots by the same prefix-sum order and
-        # match rank i to rank i with an exact one-hot matmul
+        # match rank i to rank i
         nn_i = need_new.astype(jnp.int32)
         new_rank = jnp.cumsum(nn_i) - nn_i
         n_free = K - n_live
@@ -564,15 +521,10 @@ class TpuDecoder:
             & free[None, :]
             & (new_rank[:, None] == free_rank[None, :])
         )
-        # exact integer select-reduce (fuses into one VPU loop; a one-hot
-        # f32 matmul here materializes a (K+E, K) operand per frame and
-        # lowers to a batched GEMV — measured much slower)
-        slot_new = jnp.sum(
-            jnp.where(ohm, jnp.arange(K, dtype=jnp.int32)[None, :], 0), axis=1
-        )
+        slot_new = jnp.sum(jnp.where(ohm, km, 0), axis=1)
         slot = jnp.where(
             hit,
-            prev_slot,
+            slot_hit,
             jnp.where(need_new & (new_rank < n_free), slot_new, -1),
         )
         w_ok = winner_c & (slot >= 0) & (slot < K)
@@ -593,10 +545,10 @@ class TpuDecoder:
             g_prev.astype(dt),
             g_seq.astype(dt),
             has_seq.astype(dt),
-            jnp.ones((K + self.E,), dt),
+            jnp.ones((E,), dt),
         ]
         if otf:
-            cols.append(cgk.astype(dt))
+            cols.append(cg.astype(dt))
         if pushing:
             cols.append(g_la)
         payload = jnp.stack(cols, axis=1)
