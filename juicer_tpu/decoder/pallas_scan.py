@@ -96,7 +96,7 @@ def _fiota(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
 
 
-def _gather_rows(idx, tab_ref, n_rows, width, chunk=512):
+def _gather_rows(idx, tab_ref, n_rows, width, chunk=128):
     """Exact one-hot row gather: rows[tab][idx] for idx (R0, R1) f32 integer
     indices, returning (R0, R1, width). The one-hot matmul is chunked over
     the table rows so the materialized one-hot never exceeds (R0*R1, chunk).
@@ -141,7 +141,10 @@ class PallasDecodeScan:
     """
 
     def __init__(self, dec: TpuDecoder, B: int, chunk: int = 128,
-                 interpret: bool = False):
+                 interpret: bool = False, debug_stage: int = 0):
+        # debug_stage > 0 truncates the kernel after that stage (outputs
+        # are garbage) — a compile-bisect aid for Mosaic crashes
+        self.debug_stage = debug_stage
         if not pallas_eligible(dec):
             raise ValueError("decoder config outside the Pallas fast path")
         if B % 8:
@@ -185,7 +188,9 @@ class PallasDecodeScan:
             ent[:n_ent_real, 9] = np.asarray(art.arc_olabel)[a]
         self.n_ent_real = max(n_ent_real, 1)
 
-        ftab = np.zeros((n_fent, 8), np.float32)
+        # width 16 to match the entry table: a width-8 gather crashed the
+        # Mosaic vector layout pass (bisect: scripts/pallas_bisect.py)
+        ftab = np.zeros((n_fent, 16), np.float32)
         if n_fent_real:
             ftab[:n_fent_real, 0] = ex.f_score
             ftab[:n_fent_real, 1] = ex.f_lm
@@ -193,24 +198,25 @@ class PallasDecodeScan:
             ftab[:n_fent_real, 3] = ex.f_seq
         self.n_fent_real = max(n_fent_real, 1)
 
-        # topology rows: [trP (S*S), sg_mask (S)] per HMM
-        topo = np.concatenate(
-            [
-                np.asarray(art.trP, np.float32).reshape(H, S * S),
-                (sg >= 0).astype(np.float32),
-            ],
-            axis=1,
-        )
+        # topology rows: [trP (S*S), sg_mask (S)] per HMM, padded to a
+        # 128-row multiple: collapsing (B, K, H) one-hots to (B*K, H) only
+        # lowers when the minor dim is lane-aligned (Mosaic crashes on
+        # vector_extract_strided_slice otherwise — see scripts/pallas_probe)
+        Hp = _rup(H + 1, 128)  # row H = the dead-slot sentinel (all zero)
+        self.Hp = Hp
+        topo = np.zeros((Hp, S * S + S), np.float32)
+        topo[:H, : S * S] = np.asarray(art.trP, np.float32).reshape(H, S * S)
+        topo[:H, S * S:] = (sg >= 0).astype(np.float32)
 
-        # Msel: (G, S*H) one-hot, s-major columns — hs = gmm_t @ Msel gives
-        # hs[:, s*H + h] = gmm_t[:, state_gmm[h, s]] (0 where no GMM; those
+        # Msel: (G, S*Hp) one-hot, s-major columns — hs = gmm_t @ Msel gives
+        # hs[:, s*Hp + h] = gmm_t[:, state_gmm[h, s]] (0 where no GMM; those
         # states are masked by `emitting` exactly like the XLA path)
-        msel = np.zeros((G, S * H), np.float32)
+        msel = np.zeros((G, S * Hp), np.float32)
         for h in range(H):
             for s in range(S):
                 g = sg[h, s]
                 if g >= 0:
-                    msel[g, s * H + h] = 1.0
+                    msel[g, s * Hp + h] = 1.0
 
         self.tabs = {
             "ent": jnp.asarray(ent),
@@ -282,7 +288,9 @@ class PallasDecodeScan:
         cout = dict(zip(self._carry_keys, refs[nck:2 * nck]))
         outs = dict(zip(_REC_NAMES, refs[2 * nck:2 * nck + 12]))
         (exsc_s, exac_s, expa_s, fanw_s, offs_s, live_s, arcc_s,
-         ffan_s, foff_s, land_s, got_s, scal_s) = refs[2 * nck + 12:]
+         ffan_s, foff_s, land_s, got_s,
+         total_s, nliv_s, ftot_s, bent_s, ovf2_s,
+         bfsc_s, bfac_s, bfpa_s, bfsq_s) = refs[2 * nck + 12:]
 
         t_in_chunk = pl.program_id(0)
         dead = float(sh.n_arcs + 1)
@@ -309,6 +317,8 @@ class PallasDecodeScan:
             start_thresh = cout["best_start"][...] - cfg.phone_start_prune_win
         else:
             start_thresh = jnp.full((B, 1), NEG, jnp.float32)
+        if self.debug_stage == 1:
+            return
 
         # ---- internal propagation (HMMInternalPropagation) -----------------
         sc = [cout["sc"][s] for s in range(S)]
@@ -320,24 +330,25 @@ class PallasDecodeScan:
         hmm = cout["hmm"][...]
         deadm = arc > sh.n_arcs + 0.5
 
-        # per-slot topology rows: exact one-hot matmul (B*K, H) @ (H, S*S+S)
-        oh3 = (hmm[:, :, None] == _fiota((B, K, H), 2)).astype(jnp.float32)
+        # per-slot topology rows: exact one-hot matmul (B*K, Hp) @ (Hp, .)
+        Hp = self.Hp
+        oh3 = (hmm[:, :, None] == _fiota((B, K, Hp), 2)).astype(jnp.float32)
         rows = jnp.dot(
-            oh3.reshape(B * K, H), topo_ref[...],
+            oh3.reshape(B * K, Hp), topo_ref[...],
             preferred_element_type=jnp.float32, precision=HI,
         ).reshape(B, K, S * S + S)
 
         # per-frame per-HMM-state GMM scores: gmm_t @ Msel (exact one-hot)
         gmm_t = scores_ref[0]
         hs = jnp.dot(gmm_t, msel_ref[...], preferred_element_type=jnp.float32,
-                     precision=HI)  # (B, S*H)
+                     precision=HI)  # (B, S*Hp)
 
         def trp(i, j):
             return jnp.where(deadm, NEG, rows[:, :, i * S + j])
 
         emitting = [rows[:, :, S * S + s] > 0.5 for s in range(S)]
         outp = [
-            jnp.sum(oh3 * hs[:, s * H:(s + 1) * H][:, None, :], axis=2)
+            jnp.sum(oh3 * hs[:, s * Hp:(s + 1) * Hp][:, None, :], axis=2)
             for s in range(S)
         ]
 
@@ -374,6 +385,9 @@ class PallasDecodeScan:
             score2.append(jnp.where(emitting[s], es, NEG))
             ac2.append(jnp.where(emitting[s], ea, NEG))
             pa2.append(jnp.where(emitting[s], ep, -1.0))
+        if self.debug_stage == 2:
+            exsc_s[...] = score2[0]
+            return
 
         # exit state: first-max over j of score2 + trP[j, S-1]
         exit_cand = [
@@ -438,12 +452,14 @@ class PallasDecodeScan:
         arcc_s[...] = arc_cur
         ffan_s[...] = ffan
         foff_s[...] = foffs
-        # scal cols: 0 norm, 1 total, 2 n_live, 3 ftotal; the grouped stage
-        # fills 4 best_entry, 5 ovf, 6 bf_sc, 7 bf_ac, 8 bf_pa, 9 bf_sq
-        scal_s[...] = jnp.concatenate(
-            [norm, total, n_live, ftotal, jnp.zeros((B, 12), jnp.float32)],
-            axis=1,
-        )
+        # per-utterance scalars live in individual (B, 1) scratch refs —
+        # a packed (B, 16) buffer filled by minor-dim concatenate of (B, 1)
+        # columns crashes the Mosaic lowering (limits 16 vs dim 1)
+        total_s[...] = total
+        nliv_s[...] = n_live
+        ftot_s[...] = ftotal
+        if self.debug_stage == 3:
+            return
 
         tf = t.astype(jnp.float32)
         eb_ref = cout["eb"]
@@ -459,11 +475,10 @@ class PallasDecodeScan:
             offs_g = offs_s[sl, :]
             live_g = live_s[sl, :] > 0.5
             arc_g = arcc_s[sl, :]
-            scal_g = scal_s[sl, :]
-            norm_g = scal_g[:, 0:1]
-            total_g = scal_g[:, 1:2]
-            nliv_g = scal_g[:, 2:3]
-            ftot_g = scal_g[:, 3:4]
+            norm_g = cout["norm"][sl, :]
+            total_g = total_s[sl, :]
+            nliv_g = nliv_s[sl, :]
+            ftot_g = ftot_s[sl, :]
 
             # --- candidate source routing (the segment broadcast) ---
             e_io = _fiota((8, K, E), 2)
@@ -487,6 +502,11 @@ class PallasDecodeScan:
             within = e_i - s_offs
             valid = (src >= 0.0) & (e_i < total_g) & (within < s_fan)
             ent_idx = jnp.clip(s_base + within, 0.0, self.n_ent_real - 1.0)
+            if self.debug_stage == 4:
+                bent_s[sl, :] = jnp.max(
+                    valid.astype(jnp.float32) + ent_idx, axis=1, keepdims=True
+                )
+                return 0
 
             # --- entry-table gather: exact chunked one-hot matmul ---
             erow = _gather_rows(ent_idx, ent_ref, sh.n_ent, 16)
@@ -496,10 +516,15 @@ class PallasDecodeScan:
             cand_ac = s_ac + erow[:, :, 2]
             cand_seq = erow[:, :, 3]
             valid = valid & (cand_score > NEG / 2)
+            if self.debug_stage == 5:
+                bent_s[sl, :] = jnp.max(cand_score, axis=1, keepdims=True)
+                return 0
 
             # --- finals (this frame's bestFinalToken) ---
-            e_iof = e_io[:, :, :F]
-            k_iof = k_io[:, :, :F]
+            # fresh iotas, NOT e_io[:, :, :F]: a minor-dim strided slice of
+            # the (8, K, E) iota crashes the Mosaic vector layout pass
+            e_iof = _fiota((8, K, F), 2)
+            k_iof = _fiota((8, K, F), 1)
             foffs_g = foff_s[sl, :]
             ffan_g = ffan_s[sl, :]
             fm3 = (foffs_g[:, :, None] <= e_iof) & (ffan_g[:, :, None] > 0.5)
@@ -521,7 +546,7 @@ class PallasDecodeScan:
             fwithin = f_i - fs_offs
             fvalid = (fsrc >= 0.0) & (f_i < ftot_g) & (fwithin < fs_fan)
             fent = jnp.clip(fs_base + fwithin, 0.0, self.n_fent_real - 1.0)
-            frow = _gather_rows(fent, f_ref, sh.n_fent, 8)
+            frow = _gather_rows(fent, f_ref, sh.n_fent, 16)
             fsc = jnp.where(fvalid, fs_score + frow[:, :, 0], NEG)
             fac = fs_ac + frow[:, :, 2]
             fmx = jnp.max(fsc, axis=1, keepdims=True)
@@ -542,14 +567,21 @@ class PallasDecodeScan:
             bf_ac = jnp.where(fbetter, bf_ac, NEG)
             bf_pa = jnp.where(fbetter, bf_pa, -1.0)
             bf_sq = jnp.where(fbetter, bf_sq, 0.0)
+            if self.debug_stage == 6:
+                bent_s[sl, :] = bf_sc
+                return 0
 
             # --- merge: dense (E, E) segment argmax at original positions ---
             ck = jnp.where(valid, cand_arc, dead)
             gsc = jnp.where(valid, cand_score, NEG)
             ei = _fiota((8, E, E), 1)
             ej = _fiota((8, E, E), 2)
+            # bool minor-dim inserts are unsupported by Mosaic ("Insertion
+            # of minor dim that is not a no-op only supported for 32-bit
+            # types") — broadcast masks through f32 instead
+            validf = valid.astype(jnp.float32)
             same = (
-                valid[:, :, None] & valid[:, None, :]
+                (validf[:, :, None] * validf[:, None, :] > 0.5)
                 & (ck[:, :, None] == ck[:, None, :])
             )
             beats = same & (
@@ -557,11 +589,18 @@ class PallasDecodeScan:
                 | ((gsc[:, :, None] == gsc[:, None, :]) & (ei < ej))
             )
             winner = valid & ~jnp.any(beats, axis=1)
+            if self.debug_stage == 7:
+                bent_s[sl, :] = jnp.sum(
+                    winner.astype(jnp.float32), axis=1, keepdims=True
+                )
+                return 0
 
             # --- slot routing ---
             kk = _fiota((8, E, K), 2)
+            winnerf = winner.astype(jnp.float32)
+            live_gf = live_g.astype(jnp.float32)
             matchm = (
-                winner[:, :, None] & live_g[:, None, :]
+                (winnerf[:, :, None] * live_gf[:, None, :] > 0.5)
                 & (ck[:, :, None] == arc_g[:, None, :])
             )
             hit = jnp.any(matchm, axis=2)
@@ -577,7 +616,7 @@ class PallasDecodeScan:
             freeg = 1.0 - live_g.astype(jnp.float32)
             fr_rank = _cumsum_lanes(freeg, K) - freeg
             ohm = (
-                need_new[:, :, None] & (freeg[:, None, :] > 0.5)
+                (nn[:, :, None] * freeg[:, None, :] > 0.5)
                 & (new_rank[:, :, None] == fr_rank[:, None, :])
             )
             slot_new = jnp.sum(jnp.where(ohm, kk, 0.0), axis=2)
@@ -589,7 +628,10 @@ class PallasDecodeScan:
             slot_w = jnp.where(w_ok, slot, float(K))
 
             # --- insertion: the scatter becomes a unique one-hot reduce ---
-            oh_land = w_ok[:, :, None] & (slot_w[:, :, None] == kk)
+            oh_land = (
+                (w_ok.astype(jnp.float32)[:, :, None] > 0.5)
+                & (slot_w[:, :, None] == kk)
+            )
             rec_id = tf * K + slot_w
             has_seq = cand_seq != 0.0
             entry_path = jnp.where(has_seq, rec_id, s_pa)
@@ -614,14 +656,17 @@ class PallasDecodeScan:
                 jnp.maximum(ovf_m, jnp.where(total_g > E, 1.0, 0.0)),
                 jnp.where(ftot_g > F, 1.0, 0.0),
             )
-            scal_s[sl, :] = jnp.concatenate(
-                [scal_g[:, :4], best_entry, ovf, bf_sc, bf_ac, bf_pa, bf_sq,
-                 scal_g[:, 10:]],
-                axis=1,
-            )
+            bent_s[sl, :] = best_entry
+            ovf2_s[sl, :] = ovf
+            bfsc_s[sl, :] = bf_sc
+            bfac_s[sl, :] = bf_ac
+            bfpa_s[sl, :] = bf_pa
+            bfsq_s[sl, :] = bf_sq
             return 0
 
         jax.lax.fori_loop(0, NG, group, 0)
+        if 4 <= self.debug_stage <= 8:
+            return
 
         # ---- apply landed winners (full-B) ---------------------------------
         got = got_s[...] > 0.5
@@ -644,11 +689,10 @@ class PallasDecodeScan:
             cout["ac"][s] = ac2[s]
             cout["pa"][s] = pa2[s]
 
-        scal = scal_s[...]
-        best_entry = scal[:, 4:5]
+        best_entry = bent_s[...]
         cout["best_emit"][...] = jnp.maximum(best_emit_new, best_entry)
         cout["best_start"][...] = best_entry
-        cout["ovf"][...] = jnp.maximum(cout["ovf"][...], scal[:, 5:6])
+        cout["ovf"][...] = jnp.maximum(cout["ovf"][...], ovf2_s[...])
 
         # ---- per-frame outputs ---------------------------------------------
         rec_valid = got & (land[7] > 0.5)
@@ -661,17 +705,22 @@ class PallasDecodeScan:
         outs["rec_score"][...] = jnp.where(rec_valid, land[1], NEG)[None]
         outs["rec_ac"][...] = jnp.where(rec_valid, land[2], NEG)[None]
         outs["rec_lm"][...] = jnp.where(rec_valid, land[3], NEG)[None]
-        outs["bf_score"][...] = scal[:, 6].reshape(1, B)
-        outs["bf_ac"][...] = scal[:, 7].reshape(1, B)
+        # per-utterance frame outputs are (C, 1, B): Mosaic requires the
+        # block's second-to-last dim to divide 8 or equal the array's, so a
+        # singleton sublane dim stands between the frame and lane axes
+        bf_sc_all = bfsc_s[...]
+        bf_ac_all = bfac_s[...]
+        outs["bf_score"][...] = bf_sc_all.reshape(1, 1, B)
+        outs["bf_ac"][...] = bf_ac_all.reshape(1, 1, B)
         outs["bf_lm"][...] = jnp.where(
-            scal[:, 6:7] > NEG / 2, scal[:, 6:7] - scal[:, 7:8] + norm, NEG
-        ).reshape(1, B)
-        outs["bf_path"][...] = scal[:, 8].astype(jnp.int32).reshape(1, B)
-        outs["bf_seq"][...] = scal[:, 9].astype(jnp.int32).reshape(1, B)
+            bf_sc_all > NEG / 2, bf_sc_all - bf_ac_all + norm, NEG
+        ).reshape(1, 1, B)
+        outs["bf_path"][...] = bfpa_s[...].astype(jnp.int32).reshape(1, 1, B)
+        outs["bf_seq"][...] = bfsq_s[...].astype(jnp.int32).reshape(1, 1, B)
         outs["n_active"][...] = jnp.sum(
             (live | got).astype(jnp.int32), axis=1
-        ).reshape(1, B)
-        outs["n_cand"][...] = scal[:, 1].astype(jnp.int32).reshape(1, B)
+        ).reshape(1, 1, B)
+        outs["n_cand"][...] = total_s[...].astype(jnp.int32).reshape(1, 1, B)
 
     # ------------------------------------------------------------------
     # chunk wrapper
@@ -694,9 +743,9 @@ class PallasDecodeScan:
                jax.ShapeDtypeStruct((C, B, K), f32),
                jax.ShapeDtypeStruct((C, B, K), f32),
                jax.ShapeDtypeStruct((C, B, K), f32)]
-            + [jax.ShapeDtypeStruct((C, B), f32)] * 3
-            + [jax.ShapeDtypeStruct((C, B), i32)] * 2
-            + [jax.ShapeDtypeStruct((C, B), i32)] * 2
+            + [jax.ShapeDtypeStruct((C, 1, B), f32)] * 3
+            + [jax.ShapeDtypeStruct((C, 1, B), i32)] * 2
+            + [jax.ShapeDtypeStruct((C, 1, B), i32)] * 2
         )
 
         def const_spec(shape):
@@ -715,7 +764,7 @@ class PallasDecodeScan:
         out_specs = (
             [const_spec(self.init[k].shape) for k in self._carry_keys]
             + [pl.BlockSpec((1, B, K), lambda t: (t, 0, 0))] * 5
-            + [pl.BlockSpec((1, B), lambda t: (t, 0))] * 7
+            + [pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0))] * 7
         )
 
         scratch = [
@@ -730,8 +779,8 @@ class PallasDecodeScan:
             pltpu.VMEM((B, K), f32),       # final offs
             pltpu.VMEM((14, B, K), f32),   # landed payload columns
             pltpu.VMEM((B, K), f32),       # got
-            pltpu.VMEM((B, 16), f32),      # packed per-utterance scalars
-        ]
+        ] + [pltpu.VMEM((B, 1), f32)] * 9  # per-utterance scalars: total,
+        #   n_live, ftotal, best_entry, ovf, bf score/ac/path/seq
 
         call = pl.pallas_call(
             self._kernel,
@@ -741,6 +790,12 @@ class PallasDecodeScan:
             out_specs=out_specs,
             scratch_shapes=scratch,
             interpret=self.interpret,
+            # the frame step's live set (routing masks + merge compares +
+            # gather one-hots) tops out above Mosaic's default 16M scoped
+            # budget; v5e has 128M physical VMEM per core
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
         )
 
         tabs = self.tabs
@@ -765,10 +820,12 @@ class PallasDecodeScan:
             ).reshape(n_chunks, 1, 1)
             scores = scores.reshape(n_chunks, C, B, sh.G)
             carry, ys = jax.lax.scan(step, carry, (scores, tbases))
-            out = {
-                n: y.reshape((n_chunks * C,) + y.shape[2:])
-                for n, y in zip(_REC_NAMES, ys)
-            }
+            out = {}
+            for n, y in zip(_REC_NAMES, ys):
+                y = y.reshape((n_chunks * C,) + y.shape[2:])
+                if y.ndim == 3 and y.shape[1] == 1:  # (T, 1, B) -> (T, B)
+                    y = y[:, 0, :]
+                out[n] = y
             return carry, out
 
         return jax.jit(run_chunks)
