@@ -828,7 +828,16 @@ class PallasDecodeScan:
                 out[n] = y
             return carry, out
 
+        self._run = run_chunks
         return jax.jit(run_chunks)
+
+    def run_fn(self):
+        """The unjitted (carry, scores, t0) -> (carry, ys) runner, for
+        composing under an outer jit / shard_map (each shard runs its own
+        B-sized kernel; the batch axis never crosses the kernel)."""
+        if self._call is None:
+            self._call = self._build_call()
+        return self._run
 
     def __call__(self, scores, carry=None, t0=0):
         """Run the fused scan. scores: (T, B, n_gmms), T % chunk == 0.

@@ -43,10 +43,16 @@ class BatchDecoder:
     results require equal-length buckets, which the harness provides).
     """
 
-    def __init__(self, decoder: TpuDecoder, mesh: Optional[Mesh] = None, axis: str = "data"):
+    def __init__(self, decoder: TpuDecoder, mesh: Optional[Mesh] = None,
+                 axis: str = "data", use_pallas="auto", pallas_chunk: int = 128,
+                 pallas_interpret: bool = False):
         self.decoder = decoder
         self.mesh = mesh
         self.axis = axis
+        self.use_pallas = use_pallas
+        self.pallas_chunk = pallas_chunk
+        self.pallas_interpret = pallas_interpret
+        self._ps = {}  # B_local -> (PallasDecodeScan, batch fn)
         batched = jax.vmap(decoder._decode_scan)
         if mesh is not None:
             sharding = NamedSharding(mesh, P(axis))
@@ -54,12 +60,114 @@ class BatchDecoder:
         else:
             self._fn = jax.jit(batched)
 
+    # -- fused Pallas path ------------------------------------------------
+
+    def _n_shards(self) -> int:
+        return int(self.mesh.devices.size) if self.mesh is not None else 1
+
+    def _pallas_ok(self, B: int) -> bool:
+        """Route through the fused VMEM-resident kernel when the decoder
+        config is inside its fast path and the batch splits into 8-row
+        sublane groups per shard."""
+        if self.use_pallas is False:
+            return False
+        from ..decoder.pallas_scan import pallas_eligible
+
+        ok = pallas_eligible(self.decoder) and B % (8 * self._n_shards()) == 0
+        if not ok and self.use_pallas is True:
+            raise ValueError(
+                "use_pallas=True but decoder/batch outside the Pallas fast "
+                "path (see pallas_scan.pallas_eligible; batch must be a "
+                "multiple of 8 per shard)"
+            )
+        return ok
+
+    def _get_pallas(self, B_local: int):
+        if B_local not in self._ps:
+            from ..decoder.pallas_scan import PallasDecodeScan
+
+            ps = PallasDecodeScan(self.decoder, B=B_local,
+                                  chunk=self.pallas_chunk,
+                                  interpret=self.pallas_interpret)
+            if self._n_shards() == 1:
+                fn = jax.jit(ps.run_fn())
+            else:
+                # each shard runs its own B_local-sized kernel; the batch
+                # axis is sharded outside the kernel, so scaling is pure DP
+                run = ps.run_fn()
+
+                def g(c, s):
+                    return run(c, s, jnp.int32(0))
+
+                ax = self.axis
+                # carry leaves: (B, K)/(B, 1) or (S, B, K); ys leaves:
+                # (T, B) or (T, B, K) — batch rides axis 0 of 2-D carry
+                # leaves and axis 1 everywhere else
+                carry_spec = jax.tree.map(
+                    lambda x: P(ax, None) if x.ndim == 2
+                    else P(None, ax, None),
+                    dict(ps.init),
+                )
+                abs_scores = jax.ShapeDtypeStruct(
+                    (self.pallas_chunk, B_local, ps.sh.G), jnp.float32
+                )
+                abs_carry, abs_ys = jax.eval_shape(g, dict(ps.init), abs_scores)
+                ys_spec = jax.tree.map(
+                    lambda x: P(None, ax) if x.ndim == 2
+                    else P(None, ax, None),
+                    abs_ys,
+                )
+                fn = jax.jit(
+                    jax.shard_map(
+                        g,
+                        mesh=self.mesh,
+                        in_specs=(carry_spec, P(None, ax, None)),
+                        out_specs=(carry_spec, ys_spec),
+                        check_vma=False,
+                    )
+                )
+            self._ps[B_local] = (ps, fn)
+        return self._ps[B_local]
+
+    def _decode_batch_pallas(self, gmm_scores: np.ndarray, lengths) -> list:
+        from ..decoder.pallas_scan import assemble_results
+
+        B, T = gmm_scores.shape[:2]
+        n_sh = self._n_shards()
+        C = self.pallas_chunk
+        T_pad = -(-max(T, 1) // C) * C
+        if T_pad != T:
+            gmm_scores = np.concatenate(
+                [gmm_scores, np.repeat(gmm_scores[:, -1:], T_pad - T, axis=1)],
+                axis=1,
+            )
+        ps, fn = self._get_pallas(B // n_sh)
+        scores = jnp.asarray(
+            np.ascontiguousarray(np.transpose(gmm_scores, (1, 0, 2))),
+            jnp.float32,
+        )
+        if n_sh == 1:
+            carry, ys = fn(dict(ps.init), scores, jnp.int32(0))
+        else:
+            init = jax.tree.map(
+                lambda x: jnp.tile(x, (n_sh, 1)) if x.ndim == 2
+                else jnp.tile(x, (1, n_sh, 1)),
+                dict(ps.init),
+            )
+            carry, ys = fn(init, scores)
+        if lengths is None:
+            lengths = [T] * B
+        return assemble_results(self.decoder, ps, carry, ys, lengths)
+
     def decode_scores_batch(self, gmm_scores: np.ndarray, lengths=None) -> list:
         """gmm_scores: (B, T, n_gmms), optionally padded to a common T with
         per-utterance true `lengths` (the per-frame best-final snapshot in
         the scan output makes padded decodes exact). Returns DecodeResults.
         """
+        gmm_scores = np.asarray(gmm_scores)
         B = gmm_scores.shape[0]
+        if self._pallas_ok(B):
+            return self._decode_batch_pallas(gmm_scores, lengths)
         carry, ys, rec0 = self._fn(jnp.asarray(gmm_scores, self.decoder._dt))
         out = []
         for b in range(B):

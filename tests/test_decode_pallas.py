@@ -102,3 +102,56 @@ def test_pallas_results_match_decode_scores():
             h.end_frame for h in ref.word_hyps
         ]
         assert got.words  # non-degenerate
+
+
+class TestBatchDecoderPallasRoute:
+    """BatchDecoder routes through the fused kernel (use_pallas)."""
+
+    def _batch(self, seed):
+        task, dec, scorer = _mk(beams=True, seed=seed)
+        scores_tbg, utts, lens = _batch_scores(task, scorer, seed=seed + 10)
+        scores_btg = np.transpose(scores_tbg, (1, 0, 2))
+        return dec, scores_btg, utts, lens
+
+    def test_single_device(self):
+        from juicer_tpu.parallel import BatchDecoder
+
+        dec, scores_btg, utts, lens = self._batch(2)
+        bd = BatchDecoder(dec, mesh=None, use_pallas=True, pallas_chunk=64,
+                          pallas_interpret=True)
+        results = bd.decode_scores_batch(scores_btg, lengths=lens)
+        assert (8 in bd._ps)  # the Pallas path actually ran
+        for i, r in enumerate(results):
+            ref = dec.decode_scores(utts[i])
+            assert r.words == ref.words, i
+            assert r.score == pytest.approx(ref.score, abs=1e-4)
+
+    def test_sharded_mesh(self):
+        from juicer_tpu.parallel import BatchDecoder, make_mesh
+
+        dec, scores_btg, utts, lens = self._batch(4)
+        mesh = make_mesh(2)  # B=8 -> B_local=4? no: B_local must be %8
+        # duplicate the batch to 16 so each of 2 shards holds 8 utterances
+        scores_btg = np.concatenate([scores_btg, scores_btg], axis=0)
+        lens = lens + lens
+        bd = BatchDecoder(dec, mesh=mesh, use_pallas=True, pallas_chunk=64,
+                          pallas_interpret=True)
+        results = bd.decode_scores_batch(scores_btg, lengths=lens)
+        assert (8 in bd._ps)
+        for i, r in enumerate(results):
+            ref = dec.decode_scores(utts[i % 8])
+            assert r.words == ref.words, i
+            assert r.score == pytest.approx(ref.score, abs=1e-4)
+
+    def test_auto_falls_back(self):
+        """An ineligible batch size silently falls back to the XLA vmap."""
+        from juicer_tpu.parallel import BatchDecoder
+
+        dec, scores_btg, utts, lens = self._batch(6)
+        bd = BatchDecoder(dec, mesh=None, use_pallas="auto",
+                          pallas_interpret=True)
+        results = bd.decode_scores_batch(scores_btg[:3], lengths=lens[:3])
+        assert not bd._ps  # XLA path
+        for i, r in enumerate(results):
+            ref = dec.decode_scores(utts[i])
+            assert r.words == ref.words, i
