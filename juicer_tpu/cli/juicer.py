@@ -98,6 +98,38 @@ def make_parser():
                         "from stdin, running the MFCC front end live "
                         "(the Tracter ASRFactory capture chain)")
     p.add_argument("-audioSampleRate", type=int, default=16000)
+
+    # reference flags accepted for drop-in compatibility (`juicer.cpp:169-294`)
+    p.add_argument("-silMonophone", default="sil",
+                   help="name of the silence monophone (word-end pruning marker)")
+    p.add_argument("-pauseMonophone", default="sp",
+                   help="name of the short-pause monophone")
+    p.add_argument("-basicCore", action="store_true",
+                   help="accepted; one engine covers the basic core's "
+                        "lattice/model-level features (-latticeDir, "
+                        "-modelLevelOutput)")
+    p.add_argument("-threading", action="store_true",
+                   help="accepted; obsolete — GMM scoring is fused into the "
+                        "jitted decode step")
+    p.add_argument("-blockSize", type=int, default=0,
+                   help="accepted; obsolete — scoring is batched over the "
+                        "whole utterance")
+    p.add_argument("-tiedListFName", default=None,
+                   help="accepted; model-level output uses MMF model names "
+                        "directly")
+    p.add_argument("-cdSepChars", default=None,
+                   help="accepted; model-level output uses MMF model names "
+                        "directly")
+    p.add_argument("-useHModels", action="store_true",
+                   help="unsupported (HTKLib adapter); use -mllrXformFile / "
+                        "-inputXformDir for adaptation")
+    p.add_argument("-htkConfig", default=None, help="unsupported (HTKLib)")
+    p.add_argument("-parentXformDir", default=None, help="unsupported (HTKLib)")
+    p.add_argument("-parentXformExt", default=None, help="unsupported (HTKLib)")
+    from .. import __version__
+
+    p.add_argument("-version", action="version",
+                   version=f"juicer_tpu {__version__}")
     return p
 
 
@@ -234,6 +266,11 @@ def check_consistency(net, models, vocab):
 
 def main(argv=None):
     args = make_parser().parse_args(argv)
+    if args.useHModels or args.htkConfig or args.parentXformDir:
+        raise SystemExit(
+            "juicer: HTKLib-backed HModels are not supported; use "
+            "-mllrXformFile/-regClassFile (MLLR) or -inputXformDir (CMLLR)"
+        )
     from ..lexicon import Vocabulary
     from ..decoder import DecoderNetwork, RefDecoder, TpuDecoder
     from ..decoder.artifact import DecoderArtifact
@@ -271,6 +308,7 @@ def main(argv=None):
             args.fsmFName, args.inSymsFName, args.outSymsFName,
             lm_scale=args.lmScaleFactor, ins_pen=args.insPenalty,
             remove_aux="input" if otf else "both",
+            sil_name=args.silMonophone, pause_name=args.pauseMonophone,
         )
         if args.writeBinaryFiles and not otf:
             net.save_npz(cache)
