@@ -20,6 +20,7 @@ import numpy as np
 
 def main():
     quick = "--quick" in sys.argv
+    use_pallas = "--pallas" in sys.argv
     import jax
     import jax.numpy as jnp
 
@@ -30,6 +31,8 @@ def main():
     if quick:
         n_words, n_phones, vec, B, T, iters = 30, 16, 20, 2, 100, 2
         K, E = 256, 1024
+        if use_pallas:
+            B, T = 8, 128
     else:
         # B=128 is the measured utilization sweet spot at this frontier
         # size (B=32: 112k, B=64: 122k, B=128: 137k, B=256: 104k fps)
@@ -62,13 +65,30 @@ def main():
 
     decode_batch = jax.jit(jax.vmap(one))
 
-    @jax.jit
-    def step(features):
-        # score the whole batch flat (Pallas kernel), then decode per
-        # utterance
-        Bf, Tf, Df = features.shape
-        scores = scorer(features.reshape(Bf * Tf, Df))
-        return decode_batch(scores.reshape(Bf, Tf, -1))
+    if use_pallas:
+        # the fused VMEM-resident decode scan (decoder/pallas_scan.py)
+        from juicer_tpu.decoder.pallas_scan import PallasDecodeScan
+
+        T = -(-T // 128) * 128  # chunked kernel: T must be a 128-multiple
+        ps = PallasDecodeScan(dec, B, chunk=128)
+
+        @jax.jit
+        def step(features):
+            Bf, Tf, Df = features.shape
+            scores = scorer(features.reshape(Bf * Tf, Df))
+            scores = scores.reshape(Bf, Tf, -1).transpose(1, 0, 2)
+            carry, ys = ps(scores)
+            return ys["bf_score"][-1]
+
+    else:
+
+        @jax.jit
+        def step(features):
+            # score the whole batch flat (Pallas kernel), then decode per
+            # utterance
+            Bf, Tf, Df = features.shape
+            scores = scorer(features.reshape(Bf * Tf, Df))
+            return decode_batch(scores.reshape(Bf, Tf, -1))
 
     # synthesize a real utterance batch (random word sequences); a few
     # distinct utterances tiled to B keeps setup time low

@@ -37,11 +37,17 @@ def make_parser():
     p.add_argument("-inSymsFName", required=True)
     p.add_argument("-outSymsFName", required=True)
     p.add_argument("-genTestSeqs", action="store_true")
+    p.add_argument("-ndixt", action="store_true",
+                   help="non-deterministic-inverse x-word triphone C "
+                        "(reference spelling for cdType xwrdtrindi; ignored "
+                        "unless cdType is xwrdtri)")
     return p
 
 
 def main(argv=None):
     args = make_parser().parse_args(argv)
+    if args.ndixt and args.cdType == "xwrdtri":
+        args.cdType = "xwrdtrindi"
     phone_set = PhoneSet(args.monoListFName, args.silMonophone, args.pauseMonophone)
 
     if args.htkModelsFName:

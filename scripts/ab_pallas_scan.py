@@ -27,6 +27,12 @@ def main():
     else:
         n_words, n_phones, vec, B, T, iters = 200, 40, 39, 128, 1024, 5
         K, E = 128, 128
+    for a in sys.argv[1:]:
+        if a.startswith("--B="):
+            B = int(a[4:])
+        if a.startswith("--T="):
+            T = int(a[4:])
+    skip_xla = "--no-xla" in sys.argv
 
     task = make_synth_task(
         n_words=n_words, n_phones=n_phones, vec_size=vec, n_comps=8, seed=0
@@ -91,6 +97,9 @@ def main():
         print(f"{name}: {fps:,.0f} frames/s  ({dt / iters * 1e3:.1f} ms/iter)")
         return np.asarray(out), fps
 
+    if skip_xla:
+        sp, fp = bench(step_pallas, "pallas")
+        return
     sx, fx = bench(step_xla, "xla   ")
     sp, fp = bench(step_pallas, "pallas")
     print("final-score max|diff|:", float(np.abs(sx - sp).max()))
