@@ -100,10 +100,14 @@ def make_parser():
     p.add_argument("-audioSampleRate", type=int, default=16000)
 
     # reference flags accepted for drop-in compatibility (`juicer.cpp:169-294`)
-    p.add_argument("-silMonophone", default="sil",
-                   help="name of the silence monophone (word-end pruning marker)")
-    p.add_argument("-pauseMonophone", default="sp",
-                   help="name of the short-pause monophone")
+    p.add_argument("-silMonophone", default="",
+                   help="name of the silence monophone (feeds phone lookup / "
+                        "model-level output only; the word-end pruning "
+                        "markers are the literal 'sil'/'sp' strings, as in "
+                        "WFSTNetwork.cpp:605-616)")
+    p.add_argument("-pauseMonophone", default="",
+                   help="name of the short-pause monophone (phone lookup / "
+                        "model-level output only)")
     p.add_argument("-basicCore", action="store_true",
                    help="accepted; one engine covers the basic core's "
                         "lattice/model-level features (-latticeDir, "
@@ -308,7 +312,6 @@ def main(argv=None):
             args.fsmFName, args.inSymsFName, args.outSymsFName,
             lm_scale=args.lmScaleFactor, ins_pen=args.insPenalty,
             remove_aux="input" if otf else "both",
-            sil_name=args.silMonophone, pause_name=args.pauseMonophone,
         )
         if args.writeBinaryFiles and not otf:
             net.save_npz(cache)

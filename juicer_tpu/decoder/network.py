@@ -35,8 +35,6 @@ class DecoderNetwork:
         lm_scale: float = 1.0,
         ins_pen: float = 0.0,
         remove_aux: str = "both",  # both | input | none
-        sil_name: str = "sil",
-        pause_name: str = "sp",
     ):
         in_syms = in_syms if in_syms is not None else fst.isyms
         out_syms = out_syms if out_syms is not None else fst.osyms
@@ -91,10 +89,12 @@ class DecoderNetwork:
             max_out = max(max_out, len(out_syms) - 1)
         self.word_end_marker = max(max_in, max_out) + 1
 
-        # sil / sp input labels (`WFSTNetwork.cpp:605-616`); names follow
-        # the -silMonophone / -pauseMonophone flags (`juicer.cpp:241-246`)
-        self.sil_marker = in_syms.find(sil_name) if in_syms is not None else -1
-        self.sp_marker = in_syms.find(pause_name) if in_syms is not None else -1
+        # sil / sp input labels for word-end pruning: the reference hardcodes
+        # the literal strings "sil"/"sp" here regardless of the
+        # -silMonophone/-pauseMonophone flags (`WFSTNetwork.cpp:605-616`;
+        # those flags only feed PhoneLookup / model-level output)
+        self.sil_marker = in_syms.find("sil") if in_syms is not None else -1
+        self.sp_marker = in_syms.find("sp") if in_syms is not None else -1
 
     @classmethod
     def from_files(
@@ -105,14 +105,11 @@ class DecoderNetwork:
         lm_scale: float = 1.0,
         ins_pen: float = 0.0,
         remove_aux: str = "both",
-        sil_name: str = "sil",
-        pause_name: str = "sp",
     ) -> "DecoderNetwork":
         isy = read_symbols(in_syms_fname) if in_syms_fname else None
         osy = read_symbols(out_syms_fname) if out_syms_fname else None
         f = read_fsm(fsm_fname)
-        return cls(f, isy, osy, lm_scale, ins_pen, remove_aux,
-                   sil_name=sil_name, pause_name=pause_name)
+        return cls(f, isy, osy, lm_scale, ins_pen, remove_aux)
 
     # -- queries -----------------------------------------------------------
 

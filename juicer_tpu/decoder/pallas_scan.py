@@ -52,6 +52,12 @@ _REC_NAMES = ["rec_prev", "rec_seq", "rec_score", "rec_ac", "rec_lm",
               "n_active", "n_cand"]
 
 
+def max_scan_T(dec: TpuDecoder) -> int:
+    """Longest utterance the fused kernel can decode exactly: path/record
+    ids are carried in f32 (exact below 2**24), encoded as t*K + slot."""
+    return (1 << 24) // dec.K - 1
+
+
 def pallas_eligible(dec: TpuDecoder) -> bool:
     """The fused kernel covers the static-network float32 fast path."""
     cfg = dec.cfg
@@ -164,7 +170,7 @@ class PallasDecodeScan:
         self.sh = _Shapes(B, K, E, F, S, H, G, n_arcs, n_ent, n_fent, chunk)
         self.interpret = interpret
         # path/record ids are carried in f32; they stay exact below 2**24
-        self.max_T = (1 << 24) // K - 1
+        self.max_T = max_scan_T(dec)
 
         # ---- static tables -------------------------------------------------
         # extended entry table: each closure entry also carries its TARGET

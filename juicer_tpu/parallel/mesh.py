@@ -65,20 +65,29 @@ class BatchDecoder:
     def _n_shards(self) -> int:
         return int(self.mesh.devices.size) if self.mesh is not None else 1
 
-    def _pallas_ok(self, B: int) -> bool:
+    def _pallas_ok(self, B: int, T: int, lengths=None) -> bool:
         """Route through the fused VMEM-resident kernel when the decoder
-        config is inside its fast path and the batch splits into 8-row
-        sublane groups per shard."""
+        config is inside its fast path, the batch splits into 8-row sublane
+        groups per shard, and the (chunk-padded) frame count stays within
+        the kernel's f32-exact record-id range."""
         if self.use_pallas is False:
             return False
-        from ..decoder.pallas_scan import pallas_eligible
+        from ..decoder.pallas_scan import max_scan_T, pallas_eligible
 
-        ok = pallas_eligible(self.decoder) and B % (8 * self._n_shards()) == 0
+        C = self.pallas_chunk
+        T_pad = -(-max(T, 1) // C) * C
+        ok = (
+            pallas_eligible(self.decoder)
+            and B % (8 * self._n_shards()) == 0
+            and T > 0
+            and (lengths is None or min(int(x) for x in lengths) > 0)
+            and T_pad <= max_scan_T(self.decoder)
+        )
         if not ok and self.use_pallas is True:
             raise ValueError(
                 "use_pallas=True but decoder/batch outside the Pallas fast "
                 "path (see pallas_scan.pallas_eligible; batch must be a "
-                "multiple of 8 per shard)"
+                "multiple of 8 per shard, frames in (0, max_scan_T])"
             )
         return ok
 
@@ -165,8 +174,8 @@ class BatchDecoder:
         the scan output makes padded decodes exact). Returns DecodeResults.
         """
         gmm_scores = np.asarray(gmm_scores)
-        B = gmm_scores.shape[0]
-        if self._pallas_ok(B):
+        B, T = gmm_scores.shape[:2]
+        if self._pallas_ok(B, T, lengths):
             return self._decode_batch_pallas(gmm_scores, lengths)
         carry, ys, rec0 = self._fn(jnp.asarray(gmm_scores, self.decoder._dt))
         out = []
