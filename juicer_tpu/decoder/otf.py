@@ -83,6 +83,45 @@ class GNetwork:
             [self._final_reach(s) for s in range(self.n_states)], dtype=np.float64
         )
         self.max_backoff = self._max_backoff_depth()
+        self._build_tpu_tables(pad_cap=64)
+
+    def _build_tpu_tables(self, pad_cap: int) -> None:
+        """TPU lookup layout replacing the reference's per-hypothesis
+        `binarySearchInLabel` + `PushingWeightCache`
+        (`WFSTOnTheFlyDecoder.h:253-371`): arbitrary-index binary search
+        serializes per index on TPU, so instead each state's sorted word
+        arcs are PADDED into (n_states, R) tables — a frontier's G lookups
+        become one packed row-gather + a lane compare. States whose rows
+        exceed R (e.g. the unigram root, which has an arc per vocab word)
+        get a dense word-indexed (D, W) table instead."""
+        nG = self.n_states
+        row_n = np.diff(self.row_ptr)
+        self.W = int(self.arc_il.max(initial=0)) + 1
+        R = int(min(max(row_n.max(initial=1), 1), pad_cap))
+        self.pad_R = R
+        dense_mask = row_n > R
+        dense_states = np.nonzero(dense_mask)[0]
+        self.dense_idx = np.full(nG, -1, np.int32)
+        self.dense_idx[dense_states] = np.arange(len(dense_states), dtype=np.int32)
+        D = max(len(dense_states), 1)
+        self.dense_dst = np.full((D, self.W), -1, np.int32)
+        self.dense_w = np.zeros((D, self.W), np.float64)
+        for k, s in enumerate(dense_states):
+            lo, hi = int(self.row_ptr[s]), int(self.row_ptr[s + 1])
+            self.dense_dst[k, self.arc_il[lo:hi]] = self.arc_dst[lo:hi]
+            self.dense_w[k, self.arc_il[lo:hi]] = self.arc_w[lo:hi]
+        # padded rows for sparse states (il 0 = eps can never match a word)
+        self.pad_il = np.zeros((nG, R), np.int32)
+        self.pad_dst = np.zeros((nG, R), np.int32)
+        self.pad_w = np.zeros((nG, R), np.float64)
+        n_arcs = len(self.arc_il)
+        if n_arcs:
+            arc_state = np.repeat(np.arange(nG), row_n)
+            within = np.arange(n_arcs) - self.row_ptr[arc_state]
+            sel = ~dense_mask[arc_state]
+            self.pad_il[arc_state[sel], within[sel]] = self.arc_il[sel]
+            self.pad_dst[arc_state[sel], within[sel]] = self.arc_dst[sel]
+            self.pad_w[arc_state[sel], within[sel]] = self.arc_w[sel]
 
     def _final_reach(self, s: int) -> float:
         w = 0.0

@@ -73,8 +73,9 @@ class _Histogram:
     """Integer-binned score histogram (`Histogram.cpp`, binWidth=1)."""
 
     def __init__(self, min_score: float, max_score: float):
-        self.min_score = int(min_score)
-        self.max_score = int(max_score)
+        # the reference widens by one on each side (`Histogram.cpp:28-30`)
+        self.min_score = int(min_score - 1.0)
+        self.max_score = int(max_score + 1.0)
         self.reset()
 
     def reset(self) -> None:

@@ -80,6 +80,17 @@ class TpuDecoderConfig:
     phone_end_prune_win: float = 0.0
     word_prune_win: float = 0.0
     max_emit_hyps: int = 0
+    # -maxHyps semantics: "binned" reproduces the reference's integer-
+    # binned `Histogram::calcThresh` threshold exactly (default — parity
+    # with the reference's most effective pruning mode); "exact" uses the
+    # true k-th-best score (strictly tighter, TPU-native option)
+    histogram_mode: str = "binned"
+    # recombination strategy: "dense" = (E, E) boolean segment-max + (E, K)
+    # slot routing at original positions (fastest at small budgets, but the
+    # compare matrices are quadratic in E/K); "sort" = one (K+E)-row
+    # multi-operand stable co-sort (O((K+E) log^2) — the only viable shape
+    # at WSJ-order budgets); "auto" picks by budget size
+    merge_strategy: str = "auto"
     dtype: str = "float32"
     gen_lattice: bool = False
     # per-frame best-final snapshots (exact padded decoding) + active-inst
@@ -201,16 +212,21 @@ class TpuDecoder:
             self.dev.update(
                 {
                     "seq_words": jnp.asarray(seq_words),
-                    "g_row_ptr": jnp.asarray(g.row_ptr, dtype=jnp.int32),
-                    "g_il": jnp.asarray(g.arc_il),
-                    "g_dst": jnp.asarray(g.arc_dst),
-                    "g_w": jnp.asarray(g.arc_w, dtype=dt),
+                    "g_pad_il": jnp.asarray(g.pad_il),  # (nG, R)
+                    "g_pad_dst": jnp.asarray(g.pad_dst),
+                    "g_pad_w": jnp.asarray(g.pad_w, dtype=dt),
+                    "g_dense_idx": jnp.asarray(g.dense_idx),
+                    "g_dense_dst_flat": jnp.asarray(g.dense_dst.reshape(-1)),
+                    "g_dense_w_flat": jnp.asarray(
+                        g.dense_w.reshape(-1), dtype=dt
+                    ),
                     "g_bo_dst": jnp.asarray(g.bo_dst),
                     "g_bo_w": jnp.asarray(g.bo_w, dtype=dt),
                     "g_freach": jnp.asarray(g.final_reach, dtype=dt),
                 }
             )
-            self._g_maxrow = int(np.max(np.diff(g.row_ptr), initial=1))
+            self._g_R = g.pad_R
+            self._g_W = g.W
             self._g_maxbo = g.max_backoff
             self.pushing = cfg.otf_pushing
             if self.pushing:
@@ -221,6 +237,23 @@ class TpuDecoder:
                 )
         else:
             self.pushing = False
+        if cfg.histogram_mode not in ("binned", "exact"):
+            raise ValueError(f"unknown histogram_mode {cfg.histogram_mode!r}")
+        if cfg.max_emit_hyps > 0 and cfg.histogram_mode == "binned":
+            # reference histogram bounds (`WFSTDecoderLite.cpp:78-80`,
+            # widened by one each side in `Histogram.cpp:28-30`)
+            lo = -cfg.emit_prune_win - 800.0 if cfg.emit_prune_win > 0.0 else -1000.0
+            self._hist_min = float(int(lo - 1.0))
+            self._hist_max = float(int(200.0 + 1.0))
+        ms = cfg.merge_strategy
+        if ms == "auto":
+            # dense measured faster at E=128/512 (A/B on v5e, see working
+            # notes); its (E, E)+(E, K) compares turn quadratic-prohibitive
+            # well before WSJ-order budgets
+            ms = "sort" if (self.E > 512 or self.K > 1024) else "dense"
+        if ms not in ("dense", "sort"):
+            raise ValueError(f"unknown merge_strategy {cfg.merge_strategy!r}")
+        self.merge_strategy = ms
         self._decode_jit = jax.jit(self._decode_scan)
 
     # ------------------------------------------------------------------
@@ -235,31 +268,44 @@ class TpuDecoder:
 
     def _g_advance(self, g, words_valid, word):
         """Vectorized G advance: consume `word` from state `g` via
-        match-or-backoff (bounded unrolled binary search). Inputs (N,);
-        returns (g', weight_delta, ok)."""
+        match-or-backoff. Inputs (N,); returns (g', weight_delta, ok).
+
+        Per backoff level: ONE packed row-gather of the state's padded
+        sorted arc row (GNetwork.pad_il, (nG, R)) + a dense lane compare;
+        big states (rows > R, e.g. the unigram root every backoff chain
+        lands on) are answered by a word-indexed dense table with a single
+        N-sized gather. No serialized binary search anywhere — this is
+        the TPU analogue of `binarySearchInLabel` + `PushingWeightCache`
+        (`WFSTOnTheFlyDecoder.h:253-371`, `WFSTNetwork.cpp:2505`)."""
         dev = self.dev
         dt = self._dt
         N = g.shape[0]
-        bits = max(1, int(np.ceil(np.log2(self._g_maxrow + 1))))
         gw = jnp.zeros((N,), dt)
         ok = jnp.ones((N,), bool)
         done = ~words_valid  # nothing to consume
         cur = jnp.maximum(g, 0)
+        in_range = word < self._g_W
         for _ in range(self._g_maxbo + 1):
-            lo = dev["g_row_ptr"][cur]
-            n = dev["g_row_ptr"][cur + 1] - lo
-            # lower_bound meta binary search
-            pos = jnp.zeros((N,), jnp.int32)
-            for b in reversed(range(bits)):
-                cand = pos + (1 << b)
-                idx = jnp.clip(lo + cand - 1, 0, dev["g_il"].shape[0] - 1)
-                take = (cand <= n) & (dev["g_il"][idx] < word)
-                pos = jnp.where(take, cand, pos)
-            idx = jnp.clip(lo + pos, 0, dev["g_il"].shape[0] - 1)
-            hit = ~done & (pos < n) & (dev["g_il"][idx] == word)
-            # on hit: move to dst, add weight, finished
-            cur = jnp.where(hit, dev["g_dst"][idx], cur)
-            gw = jnp.where(hit, gw + dev["g_w"][idx], gw)
+            rows_il = dev["g_pad_il"][cur]  # (N, R) packed row gather
+            m = rows_il == word[:, None]
+            # duplicate (state, il) guard: keep the first match only (the
+            # host binary search would find the first too)
+            m &= jnp.cumsum(m.astype(jnp.int32), axis=1) <= 1
+            hit_sp = jnp.any(m, axis=1)
+            mf = m.astype(dt)
+            dst_sp = jnp.sum(
+                mf * dev["g_pad_dst"][cur], axis=1
+            ).astype(jnp.int32)
+            w_sp = jnp.sum(mf * dev["g_pad_w"][cur], axis=1)
+            di = dev["g_dense_idx"][cur]  # (N,)
+            use_d = di >= 0
+            flat = jnp.clip(di, 0) * self._g_W + jnp.clip(word, 0, self._g_W - 1)
+            dst_d = dev["g_dense_dst_flat"][flat]
+            w_d = dev["g_dense_w_flat"][flat]
+            hit_d = (dst_d >= 0) & in_range
+            hit = ~done & jnp.where(use_d, hit_d, hit_sp)
+            cur = jnp.where(hit, jnp.where(use_d, dst_d, dst_sp), cur)
+            gw = jnp.where(hit, gw + jnp.where(use_d, w_d, w_sp), gw)
             done = done | hit
             # else: back off if possible
             bo = dev["g_bo_dst"][cur]
@@ -433,6 +479,11 @@ class TpuDecoder:
     # ------------------------------------------------------------------
 
     def _merge_and_insert(self, fr, cand, t, norm):
+        if self.merge_strategy == "sort":
+            return self._merge_and_insert_sort(fr, cand, t, norm)
+        return self._merge_and_insert_dense(fr, cand, t, norm)
+
+    def _merge_and_insert_dense(self, fr, cand, t, norm):
         """Sort-free dense segment-max recombination + dense slot routing.
         `norm` is the cumulative normalization N_t used to reconstruct
         record LM scores (lm = score - ac + N_t, minus the just-applied
@@ -595,6 +646,201 @@ class TpuDecoder:
                 rec["ev_g"] = jnp.where(got, fr_new["g"], 0)
         return fr_new, rec, best_new, overflow
 
+    def _merge_and_insert_sort(self, fr, cand, t, norm):
+        """Sort-based recombination + insertion for WSJ-order budgets.
+
+        The dense strategy's (E, E) winner compare and (E, K) slot routing
+        are quadratic; at K~8k / E~32k they materialize ~10^9-element
+        intermediates per frame. This variant does the whole merge with ONE
+        stable multi-operand bitonic sort of K+E rows keyed by
+        (arc[, g], kind, -score), payloads carried through (narrow
+        data-dependent row-gathers lose to the extra bitonic operand
+        traffic — A/B'd on v5e, see working notes):
+
+          1. restore-sort the frontier by (live ? arc : dead) so live rows
+             compact to slots [0, n_live) in key order;
+          2. co-sort frontier heads (kind 0) with all candidates (kind 1):
+             within a key group the head (if any) comes first, then
+             candidates best-first — the group's FIRST candidate is the
+             segment-max winner (stable sort = reference's first-come tie
+             break), and it merges into an existing slot iff preceded by a
+             head (slot = #frontier rows before it − 1);
+          3. new winners take slots n_live + prefix-sum rank.
+
+        Outputs (records, frontier contents, best score, overflow flag) are
+        identical to the dense strategy up to slot numbering, which is
+        self-consistent through the (t*K + slot) record encoding."""
+        K, S, E = self.K, self.S, self.E
+        dt = self._dt
+        dead = jnp.int32(self.n_arcs + 1)
+        otf = self.otf
+        lat = self.cfg.gen_lattice
+        pushing = self.pushing
+
+        # ---- 1. frontier restore sort (live compacted, key-ordered) ------
+        live = jnp.any(fr["score"][:, : S - 1] > NEG / 2, axis=1) & (
+            fr["arc"] <= self.n_arcs
+        ) & (fr["arc"] >= 0)
+        key = jnp.where(live, fr["arc"], dead)
+        names = ("score", "ac", "path") + (("lat",) if lat else ())
+        fills = {"score": NEG, "ac": NEG, "path": -1, "lat": -1}
+        ops = [key] + ([fr["g"]] if otf else [])
+        for name in names:
+            for j in range(S):
+                ops.append(fr[name][:, j])
+        if pushing:
+            ops.append(fr["push_la"])
+        sorted_ops = jax.lax.sort(tuple(ops), num_keys=2 if otf else 1)
+        key_s = sorted_ops[0]
+        idx = 1
+        fr2 = {"arc": jnp.where(key_s >= dead, dead, key_s)}
+        if otf:
+            fr2["g"] = jnp.where(key_s >= dead, 0, sorted_ops[1])
+            idx = 2
+        if pushing:
+            fr2["push_la"] = jnp.where(key_s >= dead, 0.0, sorted_ops[-1])
+        for name in names:
+            fill = fills[name]
+            cols = []
+            for j in range(S):
+                c = sorted_ops[idx]
+                idx += 1
+                cols.append(jnp.where(key_s >= dead, jnp.asarray(fill, c.dtype), c))
+            fr2[name] = jnp.stack(cols, axis=1)
+        fr = fr2
+        n_live = jnp.sum((key_s < dead).astype(jnp.int32))
+
+        # ---- 2. the (K+E)-row co-sort ------------------------------------
+        valid = cand["valid"]
+        Z = jnp.zeros((K,), dt)
+        ZI = jnp.zeros((K,), jnp.int32)
+        comb_key = jnp.concatenate(
+            [fr["arc"], jnp.where(valid, cand["arc"], dead)]
+        )
+        comb_kind = jnp.concatenate(
+            [jnp.zeros((K,), jnp.int32), jnp.ones((E,), jnp.int32)]
+        )
+        comb_negscore = jnp.concatenate(
+            [Z, jnp.where(valid, -cand["score"], jnp.asarray(-NEG, dt))]
+        )
+        if otf:
+            # key order must be (arc, G state, kind): keep separate keys
+            comb_ops = [
+                comb_key,
+                jnp.concatenate([fr["g"], jnp.where(valid, cand["g"], 0)]),
+                comb_kind,
+                comb_negscore,
+            ]
+            nk = 4
+        else:
+            # pack (arc, kind) into one int key: same lexicographic order,
+            # one fewer operand through the bitonic network (arc < 2^24 is
+            # already required by the f32 packed tables, so arc*2+1 fits)
+            comb_ops = [comb_key * 2 + comb_kind, comb_negscore]
+            nk = 2
+        comb_ops += [
+            jnp.concatenate([Z, cand["ac"]]),
+            jnp.concatenate([ZI, cand["prev"]]),
+            jnp.concatenate([ZI, cand["seq"]]),
+        ]
+        if pushing:
+            comb_ops.append(jnp.concatenate([Z, cand["la"]]))
+        sorted_comb = jax.lax.sort(tuple(comb_ops), num_keys=nk, is_stable=True)
+        if otf:
+            (ck, cgk, ckind, g_negscore, g_ac, g_prev, g_seq) = sorted_comb[:7]
+            same_key = (ck[1:] == ck[:-1]) & (cgk[1:] == cgk[:-1])
+        else:
+            (pk, g_negscore, g_ac, g_prev, g_seq) = sorted_comb[:5]
+            ck = pk // 2
+            ckind = pk % 2
+            cgk = None
+            same_key = ck[1:] == ck[:-1]
+        g_la = sorted_comb[-1] if pushing else None
+        g_score = -g_negscore
+        # record LM = score - ac + N_t, minus the new arc's outstanding
+        # lookahead in pushing mode (see _empty_frontier)
+        g_lm = g_score - g_ac + norm - (g_la if pushing else 0.0)
+        is_cand = ckind == 1
+        prev_same_frontier = jnp.concatenate(
+            [jnp.zeros((1,), bool), same_key & (ckind[:-1] == 0)]
+        )
+        prev_same_group = jnp.concatenate([jnp.zeros((1,), bool), same_key])
+        first_cand = is_cand & (~prev_same_group | prev_same_frontier)
+        winner_c = first_cand & (ck < dead)
+        ccount = jnp.cumsum(ckind) - ckind  # candidates strictly before
+        q_idx = jnp.arange(K + E, dtype=jnp.int32)
+        f_before = q_idx - ccount
+        hit = winner_c & prev_same_frontier
+        need_new = winner_c & ~prev_same_frontier
+        alloc = n_live + jnp.cumsum(need_new.astype(jnp.int32)) - 1
+        overflow = jnp.any(need_new & (alloc >= K))
+        slot = jnp.where(hit, f_before - 1, jnp.where(need_new, alloc, -1))
+        w_ok = winner_c & (slot >= 0) & (slot < K)
+        slot_w = jnp.where(w_ok, slot, K)  # K = out of bounds -> dropped
+
+        rec_id = (t * K + slot_w).astype(jnp.int32)
+        has_seq = g_seq != 0
+        entry_path = jnp.where(has_seq, rec_id, g_prev)
+
+        # ---- 3. packed winner scatter ------------------------------------
+        # cols: [arc, score, ac, lm, entry_path, prev, seq, has_seq, got
+        # (, g)(, la)]
+        cols = [
+            ck.astype(dt),
+            g_score,
+            g_ac,
+            g_lm,
+            entry_path.astype(dt),
+            g_prev.astype(dt),
+            g_seq.astype(dt),
+            has_seq.astype(dt),
+            jnp.ones((K + E,), dt),
+        ]
+        if otf:
+            cols.append(cgk.astype(dt))
+        if pushing:
+            cols.append(g_la)
+        payload = jnp.stack(cols, axis=1)
+        landed = jnp.zeros((K, len(cols)), dt)
+        landed = landed.at[slot_w].set(payload, mode="drop", unique_indices=True)
+        got = landed[:, 8] > 0.5
+
+        arc_new = jnp.where(got, landed[:, 0].astype(jnp.int32), fr["arc"])
+        score = fr["score"].at[:, 0].set(jnp.where(got, landed[:, 1], NEG))
+        ac = fr["ac"].at[:, 0].set(jnp.where(got, landed[:, 2], NEG))
+        path = fr["path"].at[:, 0].set(
+            jnp.where(got, landed[:, 4].astype(jnp.int32), -1)
+        )
+
+        rec_valid = got & (landed[:, 7] > 0.5)
+        rec = {
+            "prev": jnp.where(rec_valid, landed[:, 5].astype(jnp.int32), -1),
+            "seq": jnp.where(rec_valid, landed[:, 6].astype(jnp.int32), 0),
+            "score": jnp.where(rec_valid, landed[:, 1], NEG),
+            "ac": jnp.where(rec_valid, landed[:, 2], NEG),
+            "lm": jnp.where(rec_valid, landed[:, 3], NEG),
+            # hits land inside the live prefix and must not double-count
+            "n_active": n_live + jnp.sum(
+                (got & (jnp.arange(K) >= n_live)).astype(jnp.int32)
+            ),
+        }
+
+        best_new = jnp.max(jnp.where(w_ok, g_score, NEG))
+        fr_new = {"arc": arc_new, "score": score, "ac": ac, "path": path}
+        if otf:
+            fr_new["g"] = jnp.where(got, landed[:, 9].astype(jnp.int32), fr["g"])
+        if pushing:
+            fr_new["push_la"] = jnp.where(got, landed[:, -1], fr["push_la"])
+        if lat:
+            ev_id = (t * K + jnp.arange(K, dtype=jnp.int32)).astype(jnp.int32)
+            fr_new["lat"] = fr["lat"].at[:, 0].set(jnp.where(got, ev_id, -1))
+            rec["ev_arc"] = jnp.where(got, arc_new, -1)
+            rec["ev_ac"] = landed[:, 2]
+            rec["ev_lm"] = landed[:, 3]
+            if otf:
+                rec["ev_g"] = jnp.where(got, fr_new["g"], 0)
+        return fr_new, rec, best_new, overflow
+
     # ------------------------------------------------------------------
     # per-frame step
     # ------------------------------------------------------------------
@@ -674,8 +920,28 @@ class TpuDecoder:
             # a frontier of K*S tokens can never hold more than K*S live
             # hyps, so clamping k is exact: the k-th-best threshold can only
             # bind when more than k real hypotheses exist
-            kth = jax.lax.top_k(flat, min(cfg.max_emit_hyps, flat.shape[0]))[0][-1]
-            kth_emit = jnp.where(kth > NEG / 2, kth, NEG)
+            if cfg.histogram_mode == "binned":
+                # `Histogram::calcThresh` with binWidth 1 reduces to the
+                # k-th largest C-ROUNDED score minus 0.5 (scores below
+                # minScore dropped; count <= maxN gives the minScore
+                # floor): scanning bins top-down until the cumulative count
+                # reaches maxN lands exactly on the bin of the maxN-th
+                # largest rounded score (`Histogram.cpp:134-158`). Scores
+                # above maxScore clamp to the top bin where the reference
+                # would abort.
+                sc = jnp.trunc(jnp.where(flat < 0, flat - 0.5, flat + 0.5))
+                sc = jnp.minimum(sc, self._hist_max)
+                sc = jnp.where((flat > NEG / 2) & (sc >= self._hist_min), sc, NEG)
+                count = jnp.sum((sc > NEG / 2).astype(jnp.int32))
+                kth = jax.lax.top_k(sc, min(cfg.max_emit_hyps, sc.shape[0]))[0][-1]
+                kth_emit = jnp.where(
+                    count > cfg.max_emit_hyps,
+                    kth - 0.5,
+                    jnp.asarray(self._hist_min - 0.5, dt),
+                )
+            else:
+                kth = jax.lax.top_k(flat, min(cfg.max_emit_hyps, flat.shape[0]))[0][-1]
+                kth_emit = jnp.where(kth > NEG / 2, kth, NEG)
         else:
             kth_emit = jnp.asarray(NEG, dt)
 
@@ -911,11 +1177,24 @@ class TpuDecoder:
             rec0["lat_valid"] = cand["valid"]
             if self.otf:
                 rec0["lat_to_g"] = cand["g"]
+        # binned histogram: an empty histogram still thresholds at the
+        # minScore floor on the first frame (`Histogram::calcThresh` with
+        # count <= maxN); exact mode starts unbounded
+        kth0 = (
+            jnp.asarray(self._hist_min - 0.5, dt)
+            if self.cfg.max_emit_hyps > 0 and self.cfg.histogram_mode == "binned"
+            else jnp.asarray(NEG, dt)
+        )
         carry = {
             "fr": fr,
-            "best_emit": jnp.asarray(NEG, dt),
+            # the reference updates bestEmitScore on ENTRY-token creation
+            # (`WFSTDecoderLite.cpp:572-573`), including the initial
+            # propagation — so frame 0 normalizes by the best init entry
+            # score, not 0. (Invisible to shift-covariant thresholds, but
+            # the binned histogram's integer bin grid is absolute.)
+            "best_emit": best_entry,
             "best_start": best_entry,
-            "kth_emit": jnp.asarray(NEG, dt),
+            "kth_emit": kth0,
             "best_final": best_final,
             "norm": norm0,
             "overflow": cand["overflow"] | m_ov | f_ov,

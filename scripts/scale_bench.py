@@ -7,6 +7,7 @@ compilation (native closure), and measures beam-pruned decode throughput
 with histogram pruning and realistic frontier sizes.
 
 Usage: python scripts/scale_bench.py [n_arcs] [K] [E] [--batch B]
+           [--merge dense|sort|auto] [--maxhyps N]
 
 With --batch B the decode is vmapped over B parallel utterance streams
 (the cluster-job-splitting equivalent, SURVEY.md §2.7, collapsed onto one
@@ -55,9 +56,19 @@ def main():
 
     args = list(sys.argv[1:])
     B = 0
+    merge = "auto"
+    maxhyps = 8000
     if "--batch" in args:
         i = args.index("--batch")
         B = int(args[i + 1])
+        del args[i : i + 2]
+    if "--merge" in args:
+        i = args.index("--merge")
+        merge = args[i + 1]
+        del args[i : i + 2]
+    if "--maxhyps" in args:
+        i = args.index("--maxhyps")
+        maxhyps = int(args[i + 1])
         del args[i : i + 2]
     n_arcs = int(args[0]) if len(args) > 0 else 1_000_000
     K = int(args[1]) if len(args) > 1 else 8192
@@ -88,10 +99,12 @@ def main():
         TpuDecoderConfig(
             max_insts=K, expand_budget=E, final_budget=1024,
             emit_prune_win=150.0, phone_end_prune_win=120.0,
-            word_prune_win=120.0, max_emit_hyps=8000,
+            word_prune_win=120.0, max_emit_hyps=maxhyps,
+            merge_strategy=merge,
         ),
     )
-    print(f"decoder: K={dec.K} E={dec.E} ({time.time()-t0:.1f}s)")
+    print(f"decoder: K={dec.K} E={dec.E} merge={dec.merge_strategy} "
+          f"maxhyps={maxhyps} ({time.time()-t0:.1f}s)")
 
     T = 500
     rng = np.random.default_rng(2)
