@@ -63,6 +63,14 @@ def main(argv=None):
     write_fsm(l, args.fsmFName)
     write_symbols(l.isyms, args.inSymsFName)
     write_symbols(l.osyms, args.outSymsFName)
+    if not args.addPhiLoop:
+        # the reference unconditionally appends #sil/#sp at
+        # phiWordLabel+1/+2 to the output symbols (`WFSTLexGen.cpp:566`,
+        # the `#if 1` block); with no phi loop that's ids 0 and 1 — a
+        # harmless quirk reproduced for byte-identical outputs (with a
+        # phi loop the ids are real and live in the symbol table proper)
+        with open(args.outSymsFName, "a") as fd:
+            fd.write(f"{'#sil':<25} 0\n{'#sp':<25} 1\n")
     print(f"lexgen: {l.num_states} states, {l.num_arcs} arcs, {gen.n_aux} aux -> {args.fsmFName}")
     return 0
 

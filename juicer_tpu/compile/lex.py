@@ -162,15 +162,21 @@ class LexGen:
                 cur = nxt
 
         def walk(node: _LexNode, prefix: list[int]) -> None:
-            for phone, child in node.children.items():
+            # the reference head-inserts new children (`addPhone`,
+            # WFSTLexGen.cpp:218-224) and its writer recurses the child
+            # subtree BEFORE emitting the node's own words
+            # (`writeFSMNode`, :588-616) — mirror both so the emitted
+            # FSM is byte-identical, state numbering included
+            for phone in reversed(list(node.children)):
+                child = node.children[phone]
                 path = prefix + [phone]
+                walk(child, path)
                 for i, (w, lp) in enumerate(zip(child.words, child.word_probs)):
                     if output_aux_phones:
                         # aux phone input label appended after the last phone
                         emit_word(w, lp, [p + 0 for p in path] + [n_mono + i])
                     else:
                         emit_word(w, lp, path)
-                walk(child, path)
 
         # note: aux phones occupy monophone index range [n_mono, n_mono+n_aux)
         # so `emit_word` sees them like any phone (label = idx+1)

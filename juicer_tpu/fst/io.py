@@ -96,10 +96,15 @@ def write_fsm(f: Fst, path_or_file: Union[str, TextIO]) -> None:
         fd = path_or_file
     try:
         n = f.num_arcs
-        # Arc lines: the start state's arcs must come first so the loader
-        # identifies the initial state correctly.
+        # Arc lines: the FIRST line's source must be the initial state so
+        # the loader identifies it correctly. If insertion order already
+        # starts at the start state (true for all the generators, which
+        # emit chains from the initial state), keep it untouched — the
+        # reference tools write arcs in emission order and the
+        # cross-check diffs are byte-exact. Otherwise stable-sort the
+        # start state's arcs to the front.
         order = list(range(n))
-        if f.start >= 0:
+        if f.start >= 0 and n > 0 and f.arc_src[0] != f.start:
             order.sort(key=lambda i: (f.arc_src[i] != f.start,))
         for i in order:
             w = f.arc_weight[i]
@@ -134,7 +139,18 @@ def read_symbols(path_or_file: Union[str, TextIO]) -> SymbolTable:
             parts = line.split()
             if len(parts) != 2:
                 continue
-            t.add_with_index(parts[0], int(parts[1]))
+            sym, idx = parts[0], int(parts[1])
+            # first binding wins: lexgen output-symbol files end with the
+            # reference's unconditional "#sil 0 / #sp 1" trailer
+            # (`WFSTLexGen.cpp:566`), which collides with <eps>/word ids.
+            # The reference never reloads these files (its pipeline
+            # rewrites symbols through external FST tools), so tolerate
+            # and ignore re-bound ids here.
+            if t.find(sym) == idx or (
+                0 <= idx < len(t) and t[idx] is not None
+            ):
+                continue
+            t.add_with_index(sym, idx)
         return t
     finally:
         if close:

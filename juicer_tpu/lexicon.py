@@ -78,6 +78,12 @@ class Vocabulary:
             self.sent_end_index = self.get_index(sent_end_word)
         if sil_word:
             self.sil_index = self.get_index(sil_word)
+        # sentence start/end words are ALWAYS special, independent of the
+        # special-word char (`DecVocabulary.cpp:149-153`) — e.g. lexgen's
+        # pronunciation variants skip them even when named "<s>"/"</s>"
+        for idx in (self.sent_start_index, self.sent_end_index):
+            if idx >= 0:
+                self.special[idx] = True
 
     @property
     def n_words(self) -> int:
