@@ -14,9 +14,13 @@ from ..fst import read_symbols, write_fsm, write_symbols, algos
 from ..lexicon import PhoneSet
 
 _TYPES = {
+    # reference spellings (`cdgen.cpp:100-112`)
+    "mono": CDType.MONOPHONE,
+    "monoann": CDType.MONOPHONE_ANN,
+    "xwrdtri": CDType.XWORD_TRIPHONE,
+    # jtpu aliases
     "monophone": CDType.MONOPHONE,
     "monophoneann": CDType.MONOPHONE_ANN,
-    "xwrdtri": CDType.XWORD_TRIPHONE,
     "xwrdtrindi": CDType.XWORD_TRIPHONE_NDI,
 }
 
@@ -42,6 +46,21 @@ def make_parser():
                         "(reference spelling for cdType xwrdtrindi; ignored "
                         "unless cdType is xwrdtri)")
     return p
+
+
+def _write_mono_ref_layout(c, path, n_aux):
+    """Monophone C in the reference's exact emission order: phone
+    self-loops, the final-state line MID-FILE, then the aux self-loops
+    TWICE (`writeFSMMonophone` emits them and `writeFSM` calls
+    `writeFSMAuxTrans` right after — WFSTCDGen.cpp:351-372)."""
+    n_phone_arcs = c.num_arcs - n_aux  # build() emits aux loops once, last
+    with open(path, "w") as fd:
+        for i in range(n_phone_arcs):
+            fd.write(f"0 0 {c.arc_ilabel[i]} {c.arc_olabel[i]}\n")
+        fd.write("0\n")
+        for _ in range(2):
+            for i in range(n_phone_arcs, c.num_arcs):
+                fd.write(f"0 0 {c.arc_ilabel[i]} {c.arc_olabel[i]}\n")
 
 
 def main(argv=None):
@@ -77,7 +96,10 @@ def main(argv=None):
 
     gen = CDGen(_TYPES[args.cdType], lookup, model_names, n_aux, aux_names)
     c = gen.build()
-    write_fsm(c, args.fsmFName)
+    if _TYPES[args.cdType] == CDType.MONOPHONE:
+        _write_mono_ref_layout(c, args.fsmFName, n_aux)
+    else:
+        write_fsm(c, args.fsmFName)
     write_symbols(c.isyms, args.inSymsFName)
     write_symbols(c.osyms, args.outSymsFName)
     print(f"cdgen: {c.num_states} states, {c.num_arcs} arcs -> {args.fsmFName}")

@@ -26,4 +26,11 @@ $CXX $FLAGS -o "$OUT/lexgen" "$REF/lexgen.cpp" \
     $common "$REF/DecLexInfo.cpp" "$REF/DecPhoneInfo.cpp" \
     "$REF/WFSTLexGen.cpp"
 
-echo "built: $OUT/gramgen $OUT/lexgen"
+# cdgen: the real WFSTCDGen + a name-list HTKModels shim (the generated
+# FSM depends on models only through getHMMName; htkparse needs
+# flex/bison which this image lacks)
+$CXX $FLAGS -o "$OUT/cdgen" "$REF/cdgen.cpp" \
+    $common "$REF/WFSTCDGen.cpp" "$REF/WFSTNetwork.cpp" \
+    "$HERE/shim/HTKModels_shim.cpp"
+
+echo "built: $OUT/gramgen $OUT/lexgen $OUT/cdgen"

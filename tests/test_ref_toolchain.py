@@ -39,6 +39,24 @@ def refbin(tmp_path_factory):
     return out
 
 
+def _write_mmf(path, names):
+    with open(path, "w") as f:
+        f.write("~o <VecSize> 4 <MFCC> <DiagC>\n")
+        for p in names:
+            f.write(f'~h "{p}"\n<BeginHMM>\n<NumStates> 5\n')
+            for s in (2, 3, 4):
+                f.write(
+                    f"<State> {s}\n<Mean> 4\n0.0 0.0 0.0 0.0\n"
+                    "<Variance> 4\n1.0 1.0 1.0 1.0\n"
+                )
+            f.write(
+                "<TransP> 5\n"
+                "0.0 1.0 0.0 0.0 0.0\n0.0 0.5 0.5 0.0 0.0\n"
+                "0.0 0.0 0.5 0.5 0.0\n0.0 0.0 0.0 0.5 0.5\n"
+                "0.0 0.0 0.0 0.0 0.0\n<EndHMM>\n"
+            )
+
+
 @pytest.fixture(scope="module")
 def fixtures(tmp_path_factory):
     td = tmp_path_factory.mktemp("fix")
@@ -46,6 +64,24 @@ def fixtures(tmp_path_factory):
         "a(1.0) ah\ncat k ae t\ndog d ao g\nad ah d\n<s> sil\n</s> sil\n"
     )
     (td / "phones.lst").write_text("ah\nk\nae\nt\nd\nao\ng\nsil\nsp\n")
+    phones = ["ah", "k", "ae", "t", "d", "ao", "g", "sil", "sp"]
+    _write_mmf(td / "mono.mmf", phones)
+    (td / "tied.mono").write_text("\n".join(phones) + "\n")
+    # cross-word triphone system over a tiny alphabet {a, b} + CI sil/sp
+    (td / "phones3.lst").write_text("a\nb\nsil\nsp\n")
+    tri = ["sil", "sp"]
+    for c in ("a", "b"):
+        for l in ("a", "b", "sil"):
+            for r in ("a", "b", "sil"):
+                tri.append(f"{l}-{c}+{r}")
+    _write_mmf(td / "tri.mmf", tri)
+    ties = []
+    for c in ("a", "b"):
+        for l in ("a", "b", "sil"):
+            ties.append(f"{l}-{c}+sp {l}-{c}+sil")
+        for r in ("a", "b", "sil"):
+            ties.append(f"sp-{c}+{r} sil-{c}+{r}")
+    (td / "tied.tri").write_text("\n".join(tri) + "\n" + "\n".join(ties) + "\n")
     (td / "lm.arpa").write_text(
         "\\data\\\nngram 1=6\nngram 2=4\n\n\\1-grams:\n"
         "-0.60206 </s>\n-99 <s> -0.30103\n-0.47712 a -0.30103\n"
@@ -104,6 +140,80 @@ LEXGEN_CASES = [
     LEXGEN_BASE + ["-outputAuxPhones", "-normalise"],
     LEXGEN_BASE,
 ]
+
+
+CDGEN_MONO = ["-cdType", "mono", "-htkModelsFName", "mono.mmf",
+              "-monoListFName", "phones.lst", "-tiedListFName", "tied.mono",
+              "-silMonophone", "sil", "-pauseMonophone", "sp"]
+CDGEN_XWRD = ["-cdType", "xwrdtri", "-htkModelsFName", "tri.mmf",
+              "-monoListFName", "phones3.lst", "-tiedListFName", "tied.tri",
+              "-silMonophone", "sil", "-pauseMonophone", "sp"]
+
+
+def _refine_hash(fsm_text):
+    """Canonical state-renumbering-invariant signature of a text FSM via
+    color refinement: iteratively hash each state's (final?, start?,
+    sorted outgoing (il, ol, w, dst-color)) until stable; the sorted
+    color multiset is the signature."""
+    arcs, finals = [], set()
+    start = None
+    for ln in fsm_text.strip().split("\n"):
+        p = ln.split()
+        if len(p) >= 4:
+            s, d, il, ol = int(p[0]), int(p[1]), p[2], p[3]
+            w = p[4] if len(p) > 4 else "0"
+            if start is None:
+                start = s
+            arcs.append((s, d, il, ol, w))
+        elif p:
+            finals.add(int(p[0]))
+    states = sorted({a[0] for a in arcs} | {a[1] for a in arcs} | finals)
+    color = {s: (s == start, s in finals) for s in states}
+    for _ in range(len(states)):
+        nxt = {}
+        for s in states:
+            outs = sorted(
+                (il, ol, w, color[d]) for (src, d, il, ol, w) in arcs
+                if src == s
+            )
+            nxt[s] = hash((color[s], tuple(outs)))
+        if len(set(nxt.values())) == len(set(color.values())):
+            color = nxt
+            break
+        color = nxt
+    return sorted(color.values()), len(arcs), len(finals)
+
+
+def test_cdgen_mono_matches_reference(refbin, fixtures, tmp_path):
+    _run_pair(refbin, fixtures, tmp_path, "cdgen", CDGEN_MONO)
+
+
+def test_cdgen_xwrdtri_equivalent_to_reference(refbin, fixtures, tmp_path):
+    """Det-inv cross-word triphone C: same symbol files byte-for-byte;
+    the FSM is compared modulo state numbering (the reference's
+    WFSTCDStateManager assigns ids in its own emission order) via color
+    refinement."""
+    outs = {}
+    for tag, cmd, sep in (
+        ("ref", [str(refbin / "cdgen")], ["-cdSepChars", "-+"]),
+        # argparse needs the '=' form for a value starting with '-'
+        ("jt", [sys.executable, "-m", "juicer_tpu.cli.cdgen"],
+         ["-cdSepChars=-+"]),
+    ):
+        fsm = tmp_path / f"{tag}.fsm"
+        full = cmd + CDGEN_XWRD + sep + [
+            "-fsmFName", str(fsm), "-inSymsFName", str(tmp_path / f"{tag}.in"),
+            "-outSymsFName", str(tmp_path / f"{tag}.out"),
+        ]
+        r = subprocess.run(full, capture_output=True, text=True,
+                           cwd=str(fixtures), timeout=120)
+        assert r.returncode == 0, (tag, r.stderr[-500:])
+        outs[tag] = fsm.read_text()
+        outs[tag + ".in"] = (tmp_path / f"{tag}.in").read_bytes()
+        outs[tag + ".out"] = (tmp_path / f"{tag}.out").read_bytes()
+    assert outs["ref.in"] == outs["jt.in"]
+    assert outs["ref.out"] == outs["jt.out"]
+    assert _refine_hash(outs["ref"]) == _refine_hash(outs["jt"])
 
 
 @pytest.mark.parametrize("case", range(len(GRAMGEN_CASES)))
