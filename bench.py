@@ -106,9 +106,11 @@ def main():
     feats = np.stack([distinct[i % len(distinct)] for i in range(B)])
     feats = jnp.asarray(feats, jnp.float32)
 
-    # certification pass: decode each distinct utterance with diagnostics on
-    # and assert no frontier/expansion budget ever bound (overflow False =>
-    # results are bit-identical to unbounded budgets at these beams)
+    # certification pass: decode each DISTINCT utterance (the batch tiles
+    # these ≤4 utterances, so certifying them certifies every batch row)
+    # with diagnostics on and assert no frontier/expansion budget ever
+    # bound (overflow False => results are bit-identical to unbounded
+    # budgets at these beams)
     import dataclasses
 
     diag = TpuDecoder(task.artifact, dataclasses.replace(cfg, emit_diagnostics=True))

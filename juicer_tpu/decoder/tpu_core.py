@@ -247,10 +247,13 @@ class TpuDecoder:
             self._hist_max = float(int(200.0 + 1.0))
         ms = cfg.merge_strategy
         if ms == "auto":
-            # dense measured faster at E=128/512 (A/B on v5e, see working
-            # notes); its (E, E)+(E, K) compares turn quadratic-prohibitive
-            # well before WSJ-order budgets
-            ms = "sort" if (self.E > 512 or self.K > 1024) else "dense"
+            # dense wins at EVERY measured size on TPU (PERF.md §3): the
+            # quadratic (E, E)+(E, K) compares stream at HBM bandwidth
+            # while the (K+E)-row variadic bitonic co-sort pays large
+            # per-operand constants (A/B at K=8192/E=32768: dense ~4.5x
+            # faster). Fall back to sort only where the dense compare
+            # matrices stop being practical.
+            ms = "sort" if self.E > 32768 else "dense"
         if ms not in ("dense", "sort"):
             raise ValueError(f"unknown merge_strategy {cfg.merge_strategy!r}")
         self.merge_strategy = ms

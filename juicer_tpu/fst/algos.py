@@ -268,19 +268,109 @@ def compose(a: Fst, b: Fst, connect_result: bool = True) -> Fst:
 # ---------------------------------------------------------------------------
 
 
+def _shortest_distance_np(
+    f: Fst, reverse: bool, sr: Semiring, delta: float, max_sweeps: int
+) -> Optional[list[float]]:
+    """Vectorized Jacobi iteration for shortest distance: one numpy
+    segment-reduction per sweep instead of per-edge Python relaxation.
+    The queue algorithm's geometric convergence on cyclic log-semiring
+    machines (word loops with cycle mass near 1) takes thousands of
+    sweeps; at Python speed that dominated the whole build pipeline
+    (measured 105 s of a 105 s minimize at a 200-word task — PERF.md).
+    Returns None to signal divergence (caller falls back / raises)."""
+    import numpy as np
+
+    n = f.num_states
+    if n == 0:
+        return []
+    src = np.asarray(f.arc_src, np.int64)
+    dst = np.asarray(f.arc_dst, np.int64)
+    w = np.asarray(f.arc_weight, np.float64)
+    base = np.full(n, np.inf)
+    if reverse:
+        group, nbr = src, dst
+        for s, fw in f.finals.items():
+            base[s] = fw if sr.name == "tropical" else _log_plus_np(base[s], fw)
+    else:
+        group, nbr = dst, src
+        if f.start >= 0:
+            base[f.start] = 0.0
+    order = np.argsort(group, kind="stable")
+    g_s, nbr_s, w_s = group[order], nbr[order], w[order]
+    # segment boundaries per group id (empty groups -> lo == hi)
+    lo = np.searchsorted(g_s, np.arange(n))
+    hi = np.searchsorted(g_s, np.arange(n) + 1)
+    nonempty = lo < hi
+    ne_lo = lo[nonempty]
+    d = base.copy()
+    tropical = sr.name == "tropical"
+    for _ in range(max_sweeps):
+        vals = w_s + d[nbr_s]
+        seg = np.full(n, np.inf)
+        if len(vals):
+            m = np.minimum.reduceat(vals, ne_lo) if ne_lo.size else np.array([])
+            if tropical:
+                seg[nonempty] = m
+            else:
+                # cost-domain log-sum-exp per segment, stabilized by the min
+                with np.errstate(invalid="ignore", over="ignore"):
+                    ex = np.exp(np.minimum(m[np.searchsorted(ne_lo, np.arange(
+                        len(g_s)), side="right") - 1] - vals, 0.0))
+                ex[~np.isfinite(ex)] = 0.0
+                s_ = np.add.reduceat(ex, ne_lo) if ne_lo.size else np.array([])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    seg_ne = m - np.log(s_)
+                seg_ne = np.where(np.isfinite(m), seg_ne, np.inf)
+                seg[nonempty] = seg_ne
+        if tropical:
+            nd = np.minimum(base, seg)
+        else:
+            nd = _log_plus_np(base, seg)
+        both_inf = np.isinf(d) & np.isinf(nd)
+        with np.errstate(invalid="ignore"):
+            diff = np.abs(np.where(both_inf, 0.0, d - nd))
+        if np.all(both_inf | (diff <= delta)):
+            return [float(x) if np.isfinite(x) else INF for x in nd]
+        if np.any(nd < -1e15):
+            return None  # diverging (cycle mass >= 1)
+        d = nd
+    return None
+
+
+def _log_plus_np(a, b):
+    import numpy as np
+
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    with np.errstate(invalid="ignore", over="ignore"):
+        out = lo - np.log1p(np.exp(lo - hi))
+    return np.where(np.isinf(lo), hi, out)
+
+
 def shortest_distance(
     f: Fst,
     reverse: bool = False,
     semiring: Optional[Semiring] = None,
     delta: float = 1e-9,
     max_sweeps: int = 10000,
+    dense: Optional[bool] = None,
 ) -> list[float]:
-    """Generic single-source shortest distance (Mohri queue algorithm).
+    """Generic single-source shortest distance (Mohri queue algorithm;
+    machines beyond a few thousand arcs use the vectorized Jacobi sweep).
 
     Forward: distance from start to each state. Reverse: distance from each
     state to the final superstate (final weights included).
     """
     sr = semiring or f.semiring
+    if dense is None:
+        dense = f.num_arcs > 2000
+    if dense:
+        d = _shortest_distance_np(f, reverse, sr, delta, max_sweeps)
+        if d is not None:
+            return d
+        raise RuntimeError("shortest_distance: not converging (cycle mass >= 1?)")
     n = f.num_states
     d = [sr.zero] * n
     r = [sr.zero] * n
@@ -718,6 +808,76 @@ def determinize(f: Fst, delta: float = 1e-6) -> Fst:
 # ---------------------------------------------------------------------------
 
 
+def _minimize_refine_np(f: Fst, arc_code, block):
+    """Vectorized Moore partition refinement: each round lexsorts the arc
+    table and hashes every state's SORTED outgoing (label-code, qweight,
+    dst-block) multiset in one numpy pass (the pure-Python round is
+    O(states x degree x log) with large constants; at a 1000-word LG this
+    was ~29 s vs <1 s here)."""
+    import numpy as np
+
+    n = f.num_states
+    src = np.asarray(f.arc_src, np.int64)
+    dst = np.asarray(f.arc_dst, np.int64)
+    code = np.asarray(arc_code, np.int64)
+    qw = np.asarray([_qw(w) for w in f.arc_weight], np.int64)
+    blk = np.empty(n, np.int64)
+    for s, b in block.items():
+        blk[s] = b
+    nblocks = int(blk.max(initial=-1)) + 1
+    # two 31-bit prime moduli: products of residues stay well inside int64
+    M1, M2 = (1 << 31) - 1, 2147483629
+    P1, P2 = 1_000_003, 9_176_941
+    while True:
+        db = blk[dst]
+        order = np.lexsort((db, qw, code, src))
+        so = src[order]
+        ao = (
+            ((code[order] % M1) * 1_000_003 % M1 + qw[order] % M1) * 31
+            + db[order]
+        ) % M1
+        sh1 = np.zeros(n, np.int64)
+        sh2 = np.zeros(n, np.int64)
+        if len(so):
+            # within-src rank -> position-dependent polynomial hash of the
+            # canonically sorted arc multiset
+            boundaries = np.empty(len(so), bool)
+            boundaries[0] = True
+            boundaries[1:] = so[1:] != so[:-1]
+            seg_start = np.maximum.accumulate(
+                np.where(boundaries, np.arange(len(so)), 0)
+            )
+            rank = np.arange(len(so)) - seg_start
+            # P^rank mod M via square-and-multiply on the rank bits
+            e1 = np.ones(len(so), np.int64)
+            e2 = np.ones(len(so), np.int64)
+            r = rank.copy()
+            bb1, bb2 = P1 % M1, P2 % M2
+            maxr = int(rank.max(initial=0))
+            while maxr > 0:
+                odd = (r & 1) == 1
+                e1[odd] = (e1[odd] * bb1) % M1
+                e2[odd] = (e2[odd] * bb2) % M2
+                r >>= 1
+                bb1 = (bb1 * bb1) % M1
+                bb2 = (bb2 * bb2) % M2
+                maxr >>= 1
+            t1 = ((ao + 1) * e1) % M1
+            t2 = ((ao % M2 + 1) * e2) % M2
+            np.add.at(sh1, so, t1)
+            np.add.at(sh2, so, t2)
+            sh1 %= M1
+            sh2 %= M2
+        sig = np.stack([blk, sh1, sh2], axis=1)
+        _, new_blk = np.unique(sig, axis=0, return_inverse=True)
+        new_n = int(new_blk.max(initial=-1)) + 1
+        if new_n == nblocks:
+            break
+        nblocks = new_n
+        blk = new_blk.astype(np.int64)
+    return {s: int(blk[s]) for s in range(n)}
+
+
 def minimize(f: Fst, delta: float = 1e-6) -> Fst:
     """Minimize a deterministic machine.
 
@@ -760,22 +920,26 @@ def minimize(f: Fst, delta: float = 1e-6) -> Fst:
             block[s] = bid
     nblocks = len(groups)
 
-    while True:
-        sig = {}
-        for s in range(n):
-            items = sorted(
-                (arc_code[ai], _qw(f.arc_weight[ai]), block[f.arc_dst[ai]]) for ai in adj[s]
-            )
-            sig[s] = (block[s], tuple(items))
-        groups = defaultdict(list)
-        for s in range(n):
-            groups[sig[s]].append(s)
-        if len(groups) == nblocks:
-            break
-        nblocks = len(groups)
-        for bid, members in enumerate(groups.values()):
-            for s in members:
-                block[s] = bid
+    if f.num_arcs > 2000:
+        block = _minimize_refine_np(f, arc_code, block)
+    else:
+        while True:
+            sig = {}
+            for s in range(n):
+                items = sorted(
+                    (arc_code[ai], _qw(f.arc_weight[ai]), block[f.arc_dst[ai]])
+                    for ai in adj[s]
+                )
+                sig[s] = (block[s], tuple(items))
+            groups = defaultdict(list)
+            for s in range(n):
+                groups[sig[s]].append(s)
+            if len(groups) == nblocks:
+                break
+            nblocks = len(groups)
+            for bid, members in enumerate(groups.values()):
+                for s in members:
+                    block[s] = bid
 
     # rebuild with one state per block
     rep: dict[int, int] = {}
