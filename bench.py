@@ -54,8 +54,10 @@ def main():
     # are certified by the overflow check below — if a budget ever bound,
     # the run aborts rather than report a pruned-result throughput.
     beams = dict(emit_prune_win=150.0, phone_end_prune_win=75.0)
+    # scan_unroll=16: measured best on TPU at these shapes (173k -> 287k
+    # frames/s, exact; PERF.md §4)
     cfg = TpuDecoderConfig(max_insts=K, expand_budget=E, final_budget=128,
-                           emit_diagnostics=False, **beams)
+                           emit_diagnostics=False, scan_unroll=16, **beams)
     dec = TpuDecoder(task.artifact, cfg)
     scorer = make_gmm_scorer(task.models.flat_params())
 

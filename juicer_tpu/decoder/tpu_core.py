@@ -93,6 +93,15 @@ class TpuDecoderConfig:
     merge_strategy: str = "auto"
     dtype: str = "float32"
     gen_lattice: bool = False
+    # frame-loop unroll factor for the decode lax.scan: amortizes the
+    # per-frame dispatch/fusion-boundary overhead of the ~60-op step.
+    # Results are EXACT (pure loop restructuring). Measured at the bench
+    # operating point (B=128, K=E=128): 1 -> 173k, 2 -> 220k, 4 -> 249k,
+    # 8 -> 266k, 16 -> 287k frames/s (PERF.md §4). 0 = auto: 8 on
+    # accelerators at small budgets; 1 on CPU (test compile time) and at
+    # WSJ-order budgets (the unrolled graph would multiply the already-
+    # long compile).
+    scan_unroll: int = 0
     # per-frame best-final snapshots (exact padded decoding) + active-inst
     # counters; disable to shrink the compiled scan (benchmarks)
     emit_diagnostics: bool = True
@@ -257,6 +266,12 @@ class TpuDecoder:
         if ms not in ("dense", "sort"):
             raise ValueError(f"unknown merge_strategy {cfg.merge_strategy!r}")
         self.merge_strategy = ms
+        self.scan_unroll = cfg.scan_unroll or (
+            8
+            if (jax.default_backend() != "cpu"
+                and self.K <= 1024 and self.E <= 2048)
+            else 1
+        )
         self._decode_jit = jax.jit(self._decode_scan)
 
     # ------------------------------------------------------------------
@@ -1208,7 +1223,8 @@ class TpuDecoder:
         T = gmm_scores.shape[0]
         carry, rec0 = self._init_carry()
         frame_in = {"gmm": gmm_scores, "t": jnp.arange(T, dtype=jnp.int32)}
-        carry, ys = jax.lax.scan(self._frame_step, carry, frame_in)
+        carry, ys = jax.lax.scan(self._frame_step, carry, frame_in,
+                                 unroll=self.scan_unroll)
         return carry, ys, rec0
 
     def _chunk_scan(self, carry, gmm_scores, t0):
@@ -1218,7 +1234,8 @@ class TpuDecoder:
             "gmm": gmm_scores,
             "t": t0 + jnp.arange(T, dtype=jnp.int32),
         }
-        return jax.lax.scan(self._frame_step, carry, frame_in)
+        return jax.lax.scan(self._frame_step, carry, frame_in,
+                            unroll=self.scan_unroll)
 
     def stream(self) -> "StreamingDecoder":
         """Streaming session: feed score chunks, get converged partial words

@@ -889,7 +889,22 @@ def minimize(f: Fst, delta: float = 1e-6) -> Fst:
     f = connect(f)
     if f.num_states == 0:
         return f
-    f = push_weights(f)
+    # canonicalize weights with TROPICAL potentials: equivalent states have
+    # equal min-suffix-distance, so the pushed residuals are canonical and
+    # the refinement partition is exactly the one log pushing yields — but
+    # tropical Jacobi converges in <= diameter sweeps while log pushing has
+    # a geometric tail on cyclic machines (measured: 258 s -> <1 s of a
+    # 5000-word LG minimize, scripts/pipeline_scale.py). Pushing is
+    # BEST-EFFORT: the reference's `fstencode --encode_labels | fstminimize`
+    # (`bin/build-wfst-openfst:118-120`) freezes weights into labels and
+    # never pushes at all, so machines where distances diverge (e.g. the
+    # -log2 aux self-loop cycles det() creates from cdgen's duplicated aux
+    # arcs) are minimized unpushed — weights already participate in the
+    # refinement signature.
+    try:
+        f = push_weights(f, semiring=TROPICAL)
+    except RuntimeError:
+        pass
     n = f.num_states
     adj = f.out_arcs()
 

@@ -57,23 +57,25 @@ def main():
     for n_words in sizes:
         with tempfile.TemporaryDirectory() as tmp:
             lex, lmf = synth_task(tmp, n_words)
-            t0 = time.time()
-            G = GramGen(lex.vocab, GramType.NGRAM, lm_fname=lmf).build()
-            L = LexGen(lex).build(output_aux_phones=True)
-            t_build = time.time() - t0
+            def stage(name, fn):
+                t0 = time.time()
+                r = fn()
+                dt = time.time() - t0
+                print(f"  [{n_words}] {name}: {dt:.1f}s", flush=True)
+                return r, dt
+
+            (GL, t_build) = stage("build G+L", lambda: (
+                GramGen(lex.vocab, GramType.NGRAM, lm_fname=lmf).build(),
+                LexGen(lex).build(output_aux_phones=True)))
+            G, L = GL
             # the blessed LG sequence (compile/pipeline.py build_clg)
-            t0 = time.time()
-            g = algos.determinize(algos.arcsort(G))
-            l = algos.closure(algos.arcsort(L))
-            lg = algos.compose(l, g)
-            t_compose = time.time() - t0
-            t0 = time.time()
-            lg2 = algos.epsnormalize_input(lg)
-            det = algos.determinize(lg2)
-            t_det = time.time() - t0
-            t0 = time.time()
-            mini = algos.minimize(det)
-            t_min = time.time() - t0
+            (lg, t_compose) = stage("detG+closeL+compose", lambda: algos.compose(
+                algos.closure(algos.arcsort(L)),
+                algos.determinize(algos.arcsort(G))))
+            (lg2, t_eps) = stage("epsnormalize", lambda: algos.epsnormalize_input(lg))
+            (det, t_det) = stage("determinize", lambda: algos.determinize(lg2))
+            t_det += t_eps
+            (mini, t_min) = stage("minimize", lambda: algos.minimize(det))
             print(
                 f"n_words={n_words}: L={L.num_arcs} G={G.num_arcs} "
                 f"LG={lg.num_arcs} det={det.num_arcs} min={mini.num_arcs} "

@@ -108,7 +108,7 @@ def assert_parity(r_ref, r_tpu, ctx, check_frames=True):
 CONFIG_ROWS = [
     (dict(), dict()),
     (dict(emit_prune_win=50.0, phone_end_prune_win=40.0, word_prune_win=40.0),
-     dict()),
+     dict(scan_unroll=3)),  # odd unroll exercises the scan remainder
     (dict(emit_prune_win=50.0, phone_end_prune_win=40.0, max_emit_hyps=3),
      dict()),
     (dict(max_emit_hyps=2), dict()),
