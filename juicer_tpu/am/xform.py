@@ -33,6 +33,16 @@ class InputXform:
     def apply(self, feats: np.ndarray) -> np.ndarray:
         return feats @ self.A.T + self.b[None, :]
 
+    def compose(self, parent: "InputXform") -> "InputXform":
+        """Cascade: parent transform applied FIRST, then self — HTKLib's
+        parent-xform semantics (`xfInfo.paXFormDir`,
+        `/root/reference/src/juicer.cpp:743-750`): x' = A (Ap x + bp) + b."""
+        return InputXform(
+            A=self.A @ parent.A,
+            b=self.A @ parent.b + self.b,
+            logdet=self.logdet + parent.logdet,
+        )
+
 
 _TOKEN_RE = re.compile(r"<[^>]*>|\"[^\"]*\"|~[a-zA-Z]|\S+")
 
@@ -99,10 +109,12 @@ class SpeakerXforms:
     """
 
     def __init__(self, xform_dir: str, ext: str = ".xform",
-                 speaker_pattern: Optional[str] = None):
+                 speaker_pattern: Optional[str] = None,
+                 parent: Optional["SpeakerXforms"] = None):
         self.dir = xform_dir
         self.ext = ext if ext.startswith(".") or not ext else "." + ext
         self.pattern = re.compile(speaker_pattern) if speaker_pattern else None
+        self.parent = parent  # parent-xform cascade (applied first)
         self._cache: dict[str, Optional[InputXform]] = {}
 
     def speaker_of(self, utt_name: str) -> str:
@@ -115,5 +127,10 @@ class SpeakerXforms:
         spk = self.speaker_of(utt_name)
         if spk not in self._cache:
             path = os.path.join(self.dir, spk + self.ext)
-            self._cache[spk] = parse_xform(path) if os.path.exists(path) else None
+            x = parse_xform(path) if os.path.exists(path) else None
+            if self.parent is not None:
+                p = self.parent.for_utterance(utt_name)
+                if p is not None:
+                    x = x.compose(p) if x is not None else p
+            self._cache[spk] = x
         return self._cache[spk]

@@ -128,8 +128,12 @@ def make_parser():
                    help="unsupported (HTKLib adapter); use -mllrXformFile / "
                         "-inputXformDir for adaptation")
     p.add_argument("-htkConfig", default=None, help="unsupported (HTKLib)")
-    p.add_argument("-parentXformDir", default=None, help="unsupported (HTKLib)")
-    p.add_argument("-parentXformExt", default=None, help="unsupported (HTKLib)")
+    p.add_argument("-parentXformDir", default=None,
+                   help="parent input-transform directory, cascaded BEFORE "
+                        "the per-speaker -inputXformDir transform "
+                        "(HTKLib xfInfo.paXFormDir semantics, "
+                        "juicer.cpp:743-750)")
+    p.add_argument("-parentXformExt", default=".xform")
     from .. import __version__
 
     p.add_argument("-version", action="version",
@@ -411,12 +415,22 @@ def main(argv=None):
             return dec.decode_scores(sc)
 
     speaker_xforms = None
-    if args.inputXformDir:
+    if args.inputXformDir or args.parentXformDir:
         from ..am.xform import SpeakerXforms
 
-        speaker_xforms = SpeakerXforms(
-            args.inputXformDir, args.inputXformExt, args.speakerNamePattern
-        )
+        parent = None
+        if args.parentXformDir:
+            parent = SpeakerXforms(
+                args.parentXformDir, args.parentXformExt,
+                args.speakerNamePattern,
+            )
+        if args.inputXformDir:
+            speaker_xforms = SpeakerXforms(
+                args.inputXformDir, args.inputXformExt,
+                args.speakerNamePattern, parent=parent,
+            )
+        else:
+            speaker_xforms = parent
 
     if args.modelLevelOutput and args.refCore:
         raise SystemExit("juicer: -modelLevelOutput requires the TPU core")

@@ -104,3 +104,36 @@ class TestXform:
         bt.run([spec])
         xf = parse_xform(str(tmp_path / "spk1.xform"))
         np.testing.assert_allclose(applied["feats"], xf.apply(feats), rtol=1e-6)
+
+
+class TestParentXform:
+    def test_cascade_semantics(self, tmp_path):
+        """Parent transform applies FIRST (HTKLib xfInfo.paXFormDir):
+        x' = A (Ap x + bp) + b, composed once and cached."""
+        pdir = tmp_path / "parent"
+        sdir = tmp_path / "spk"
+        pdir.mkdir(); sdir.mkdir()
+        (pdir / "spk1.xform").write_text(XFORM)
+        (sdir / "spk1.xform").write_text(XFORM)
+        parent = SpeakerXforms(str(pdir), ".xform", r"^(\w+?)_")
+        sx = SpeakerXforms(str(sdir), ".xform", r"^(\w+?)_", parent=parent)
+        xf = sx.for_utterance("spk1_utt0")
+        single = parse_xform(str(sdir / "spk1.xform"))
+        x = np.arange(4.0)
+        np.testing.assert_allclose(
+            xf.apply(x[None]), single.apply(single.apply(x[None])),
+            rtol=1e-12,
+        )
+        assert xf.logdet == pytest.approx(2 * single.logdet)
+
+    def test_parent_only(self, tmp_path):
+        pdir = tmp_path / "parent"
+        pdir.mkdir()
+        (pdir / "spk1.xform").write_text(XFORM)
+        parent = SpeakerXforms(str(pdir), ".xform", r"^(\w+?)_")
+        sx = SpeakerXforms(str(tmp_path / "none"), ".xform", r"^(\w+?)_",
+                           parent=parent)
+        xf = sx.for_utterance("spk1_utt0")
+        single = parse_xform(str(pdir / "spk1.xform"))
+        x = np.arange(4.0)
+        np.testing.assert_allclose(xf.apply(x[None]), single.apply(x[None]))
