@@ -939,22 +939,31 @@ class TpuDecoder:
             # hyps, so clamping k is exact: the k-th-best threshold can only
             # bind when more than k real hypotheses exist
             if cfg.histogram_mode == "binned":
-                # `Histogram::calcThresh` with binWidth 1 reduces to the
-                # k-th largest C-ROUNDED score minus 0.5 (scores below
-                # minScore dropped; count <= maxN gives the minScore
-                # floor): scanning bins top-down until the cumulative count
-                # reaches maxN lands exactly on the bin of the maxN-th
-                # largest rounded score (`Histogram.cpp:134-158`). Scores
-                # above maxScore clamp to the top bin where the reference
-                # would abort.
+                # `Histogram::calcThresh` with binWidth 1: C-ROUND the
+                # scores, drop below minScore, clamp above maxScore (where
+                # the reference would abort), count per integer bin, then
+                # take the lowest bin whose top-down cumulative count
+                # reaches maxN, minus 0.5; count <= maxN gives the
+                # minScore floor (`Histogram.cpp:134-158`). The bin counts
+                # are ONE fused (N, n_bins) compare-reduce — at WSJ-order
+                # frontiers this replaces a full bitonic top_k sort.
                 sc = jnp.trunc(jnp.where(flat < 0, flat - 0.5, flat + 0.5))
                 sc = jnp.minimum(sc, self._hist_max)
                 sc = jnp.where((flat > NEG / 2) & (sc >= self._hist_min), sc, NEG)
-                count = jnp.sum((sc > NEG / 2).astype(jnp.int32))
-                kth = jax.lax.top_k(sc, min(cfg.max_emit_hyps, sc.shape[0]))[0][-1]
+                nb = int(self._hist_max - self._hist_min) + 1
+                bins = self._hist_min + jnp.arange(nb, dtype=dt)
+                counts = jnp.sum(
+                    (sc[:, None] == bins[None, :]).astype(jnp.int32), axis=0
+                )
+                cum = jnp.cumsum(counts[::-1])[::-1]  # >= bin, from top
+                binding = jnp.sum(counts) > cfg.max_emit_hyps
+                idx = jnp.max(
+                    jnp.where(cum >= cfg.max_emit_hyps,
+                              jnp.arange(nb, dtype=jnp.int32), -1)
+                )
                 kth_emit = jnp.where(
-                    count > cfg.max_emit_hyps,
-                    kth - 0.5,
+                    binding,
+                    self._hist_min + idx.astype(dt) - 0.5,
                     jnp.asarray(self._hist_min - 0.5, dt),
                 )
             else:
