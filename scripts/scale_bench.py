@@ -70,6 +70,11 @@ def main():
         i = args.index("--maxhyps")
         maxhyps = int(args[i + 1])
         del args[i : i + 2]
+    unroll = 0
+    if "--unroll" in args:
+        i = args.index("--unroll")
+        unroll = int(args[i + 1])
+        del args[i : i + 2]
     n_arcs = int(args[0]) if len(args) > 0 else 1_000_000
     K = int(args[1]) if len(args) > 1 else 8192
     E = int(args[2]) if len(args) > 2 else 32768
@@ -100,11 +105,12 @@ def main():
             max_insts=K, expand_budget=E, final_budget=1024,
             emit_prune_win=150.0, phone_end_prune_win=120.0,
             word_prune_win=120.0, max_emit_hyps=maxhyps,
-            merge_strategy=merge,
+            merge_strategy=merge, scan_unroll=unroll,
         ),
     )
     print(f"decoder: K={dec.K} E={dec.E} merge={dec.merge_strategy} "
-          f"maxhyps={maxhyps} ({time.time()-t0:.1f}s)")
+          f"maxhyps={maxhyps} unroll={dec.scan_unroll} "
+          f"({time.time()-t0:.1f}s)")
 
     T = 500
     rng = np.random.default_rng(2)
