@@ -92,6 +92,9 @@ class DecoderArtifact:
         # ---- eps/tee closure per state ------------------------------------
         self._state_entries: dict[int, list] = {}
         self._state_finals: dict[int, list] = {}
+        self._cum_entries: dict[int, tuple] = {}
+        self._remainder_cache: dict[tuple, Optional[list]] = {}
+        self._fremainder_cache: dict[tuple, Optional[list]] = {}
         self._max_entries = max_closure_entries_per_state
         self._native = self._try_native_closure()
         self.expansion = self._build_expansion()
@@ -262,6 +265,132 @@ class DecoderArtifact:
             f_ac=np.asarray(fcols[2], dtype=np.float64),
             f_seq=np.asarray(fcols[3], dtype=np.int32),
         )
+
+    # -- per-label crossing remainders (traceback word decomposition) --------
+
+    def _closure_cums(self, state: int):
+        """Like `_state_closure` but also records, per emitted label, the
+        cumulative (lm, ac) weight at the moment that label's arc was
+        crossed — the reference creates the word's Path record exactly
+        there (`propagateToken`, WFSTDecoderLite.cpp:496-509 for word
+        arcs; the eps branch adds the arc weight to the token BEFORE
+        recursing, :530-536; the tee branch includes arc + tee weights,
+        :580-595). Pure-python and lazy: only tracebacks need it, so the
+        (possibly native-accelerated) build path stays untouched.
+
+        Returns (entries, finals):
+          entries: (hmm_arc, ws, wl, wa, seq, cums) with cums a tuple of
+                   (cum_lm, cum_ac) per label in seq;
+          finals:  (ws(+final), wl(+final), wa, seq, cums).
+        """
+        cached = self._cum_entries.get(state)
+        if cached is not None:
+            return cached
+
+        net = self.net
+        entries: list = []
+        finals: list = []
+
+        def visit(s, w_lm, w_ac, seq, cums, on_path):
+            if len(entries) > self._max_entries:
+                raise RuntimeError("eps/tee closure blow-up")
+            fw = net.final_weight[s]
+            if fw > LOG_ZERO:
+                finals.append((w_lm + w_ac + fw, w_lm + fw, w_ac, seq, cums))
+            for ai in net.arcs_from(s):
+                il = int(net.arc_ilabel[ai])
+                w = float(net.arc_weight[ai])
+                ol = int(net.arc_olabel[ai])
+                dst = int(net.arc_dst[ai])
+                if il == 0:
+                    nseq = seq + ((ol,) if ol != 0 else ())
+                    ncums = cums + (((w_lm + w, w_ac),) if ol != 0 else ())
+                    if dst in on_path:
+                        continue
+                    visit(dst, w_lm + w, w_ac, nseq, ncums, on_path | {dst})
+                else:
+                    hidx = int(self._global_to_hmm[ai])
+                    entries.append(
+                        (hidx, w_lm + w_ac + w, w_lm + w, w_ac, seq, cums)
+                    )
+                    tee = float(self.tee[il - 1])
+                    if tee > LOG_ZERO:
+                        nseq = seq + ((ol,) if ol != 0 else ())
+                        ncums = cums + (
+                            ((w_lm + w, w_ac + tee),) if ol != 0 else ()
+                        )
+                        if dst in on_path:
+                            continue
+                        visit(dst, w_lm + w, w_ac + tee, nseq, ncums,
+                              on_path | {dst})
+
+        visit(state, 0.0, 0.0, (), (), frozenset([state]))
+        self._cum_entries[state] = (entries, finals)
+        return entries, finals
+
+    def _src_context(self, src_row: int):
+        """(closure state, own-label count) for an expansion source row:
+        an hmm-arc index, or n_hmm_arcs for the virtual start."""
+        if src_row < 0 or src_row >= self.n_hmm_arcs:
+            return int(self.net.init_state), 0
+        own = 1 if int(self.arc_olabel[src_row]) != 0 else 0
+        return int(self.arc_dst[src_row]), own
+
+    def remainders(self, src_row: int, arc_b: int, seq_id: int):
+        """Per-label (score, lm, ac) remainders for a path record that
+        landed on hmm-arc `arc_b` with label sequence `seq_id`, expanded
+        from source `src_row`. Subtracting remainder j from the record's
+        landing values yields the reference's crossing-time Path values
+        for label j. Returns a list of (rs, rl, ra), or None if no
+        matching closure edge exists (shouldn't happen for engine-made
+        records). Among parallel matching edges the best-score one wins,
+        first-in-DFS-order on ties — exactly the engine's merge choice."""
+        key = (src_row, arc_b, seq_id)
+        hit = self._remainder_cache.get(key)
+        if hit is not None:
+            return hit
+        state, n_own = self._src_context(src_row)
+        labels = self.seqs[seq_id]
+        closure_seq = tuple(labels[n_own:])
+        best = None
+        for (b, ws, wl, wa, seq, cums) in self._closure_cums(state)[0]:
+            if b == arc_b and seq == closure_seq and (
+                best is None or ws > best[0]
+            ):
+                best = (ws, wl, wa, cums)
+        if best is None:
+            self._remainder_cache[key] = None
+            return None
+        ws, wl, wa, cums = best
+        out = [(ws, wl, wa)] * n_own  # own label crossed at the source exit
+        out += [(ws - cl - ca, wl - cl, wa - ca) for (cl, ca) in cums]
+        self._remainder_cache[key] = out
+        return out
+
+    def final_remainders(self, src_row: int, f_seq_id: int):
+        """Like `remainders` for the final-reach segment: remainders are
+        relative to the bestFinalToken values (which include the final
+        weight — crossing-time Paths do not, so it stays in every
+        remainder)."""
+        key = (src_row, f_seq_id)
+        hit = self._fremainder_cache.get(key)
+        if hit is not None:
+            return hit
+        state, n_own = self._src_context(src_row)
+        labels = self.seqs[f_seq_id]
+        closure_seq = tuple(labels[n_own:])
+        best = None
+        for (ws, wl, wa, seq, cums) in self._closure_cums(state)[1]:
+            if seq == closure_seq and (best is None or ws > best[0]):
+                best = (ws, wl, wa, cums)
+        if best is None:
+            self._fremainder_cache[key] = None
+            return None
+        ws, wl, wa, cums = best
+        out = [(ws, wl, wa)] * n_own
+        out += [(ws - cl - ca, wl - cl, wa - ca) for (cl, ca) in cums]
+        self._fremainder_cache[key] = out
+        return out
 
     # -- anticipated output labels (OTF pushing) ----------------------------
 

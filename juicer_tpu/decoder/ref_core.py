@@ -206,7 +206,11 @@ class RefDecoder:
         self.cur_emit_thresh = LOG_ZERO
         if self.histogram:
             self.histogram.reset()
-        self.current_frame = -1
+        # recognitionStart() runs the initial propagation with currFrame
+        # already 0 (`WFSTDecoderLite.cpp:141`): words crossed before the
+        # first frame are reported at frame 0, not -1 (conformance-checked
+        # against the reference binary, tests/test_ref_decoder.py)
+        self.current_frame = 0
         tok = Token(0.0, 0.0, 0.0, -1)
         self._propagate_token(tok, None)
         self._join_new_active()

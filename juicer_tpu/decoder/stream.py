@@ -36,7 +36,7 @@ class StreamingDecoder:
         self.t = 0
         # host-side record arena, appended per chunk
         self._recs: dict[str, list[np.ndarray]] = {
-            k: [] for k in ("prev", "seq", "score", "ac", "lm")
+            k: [] for k in ("prev", "seq", "score", "ac", "lm", "src", "arc")
         }
         self._emitted_upto: int = -2  # path id up to which words were emitted
         self._emitted: list[WordHyp] = []
@@ -52,11 +52,8 @@ class StreamingDecoder:
         if self.carry is None:
             self.carry, self.rec0 = dec._init_carry()
             self._r0 = {
-                "prev": np.asarray(self.rec0["prev"]),
-                "seq": np.asarray(self.rec0["seq"]),
-                "score": np.asarray(self.rec0["score"]),
-                "ac": np.asarray(self.rec0["ac"]),
-                "lm": np.asarray(self.rec0["lm"]),
+                k: np.asarray(self.rec0[k])
+                for k in ("prev", "seq", "score", "ac", "lm", "src", "arc")
             }
         scores = jnp.asarray(gmm_scores, dec._dt)
         self.carry, ys = self._jit_chunk(self.carry, scores, self.t)
@@ -122,17 +119,36 @@ class StreamingDecoder:
         for pid in reversed(common):
             if pid in seen:
                 continue
-            labs = self.dec.art.seqs[int(self._rec("seq", pid))]
-            frame = pid // self.dec.K if pid >= 0 else -1
-            for lab in labs:
-                h = WordHyp(
-                    lab, frame, float(self._rec("score", pid)),
-                    float(self._rec("ac", pid)), float(self._rec("lm", pid)),
-                )
+            seq_id = int(self._rec("seq", pid))
+            labs = self.dec.art.seqs[seq_id]
+            frame = pid // self.dec.K if pid >= 0 else 0  # init words report frame 0
+            s, a, l = (
+                float(self._rec("score", pid)),
+                float(self._rec("ac", pid)),
+                float(self._rec("lm", pid)),
+            )
+            rem = self._remainders(pid, seq_id)
+            for j, lab in enumerate(labs):
+                if rem is not None and j < len(rem):
+                    rs, rl, ra = rem[j]
+                    h = WordHyp(lab, frame, s - rs, a - ra, l - rl)
+                else:
+                    h = WordHyp(lab, frame, s, a, l)
                 h._pid = pid
                 new.append(h)
         self._emitted.extend(new)
         return new
+
+    def _remainders(self, pid: int, seq_id: int):
+        """Crossing-time remainders for a record (None -> landing values)."""
+        dec = self.dec
+        if dec.otf:
+            return None
+        src = int(self._rec("src", pid))
+        arc = int(self._rec("arc", pid))
+        if src < 0 or arc < 0:
+            return None
+        return dec.art.remainders(src, arc, seq_id)
 
     # -- finishing ---------------------------------------------------------
 
@@ -143,27 +159,54 @@ class StreamingDecoder:
         score = float(bf["score"])
         if score <= NEG / 2:
             return DecodeResult([], [], NEG, NEG, NEG, self.t)
-        hyps: list[WordHyp] = []
+        # mirror TpuDecoder._traceback: crossing-time per-label values via
+        # artifact remainders; the overall-last label carries best-final
+        segs: list[list[WordHyp]] = []
         fseq = dec.art.seqs[int(bf["seq"])]
-        for lab in reversed(fseq):
-            hyps.append(WordHyp(lab, self.t - 1, score, float(bf["ac"]), float(bf["lm"])))
+        if fseq:
+            rem = (
+                dec.art.final_remainders(int(bf["src"]), int(bf["seq"]))
+                if not dec.otf and int(bf["src"]) >= 0 else None
+            )
+            seg = []
+            for j, lab in enumerate(fseq):
+                if rem is not None and j < len(rem):
+                    rs, rl, ra = rem[j]
+                    seg.append(WordHyp(lab, self.t - 1, score - rs,
+                                       float(bf["ac"]) - ra,
+                                       float(bf["lm"]) - rl))
+                else:
+                    seg.append(WordHyp(lab, self.t - 1, score,
+                                       float(bf["ac"]), float(bf["lm"])))
+            seg[-1] = WordHyp(seg[-1].word, self.t - 1, score,
+                              float(bf["ac"]), float(bf["lm"]))
+            segs.append(seg)
         pid = int(bf["path"])
         first = not fseq
         while pid != -1:
-            labs = dec.art.seqs[int(self._rec("seq", pid))]
+            seq_id = int(self._rec("seq", pid))
+            labs = dec.art.seqs[seq_id]
             s, a, l = (
                 float(self._rec("score", pid)),
                 float(self._rec("ac", pid)),
                 float(self._rec("lm", pid)),
             )
-            if first:
-                s, a, l = score, float(bf["ac"]), float(bf["lm"])
+            frame = pid // dec.K if pid >= 0 else 0  # init words report frame 0
+            rem = self._remainders(pid, seq_id)
+            seg = []
+            for j, lab in enumerate(labs):
+                if rem is not None and j < len(rem):
+                    rs, rl, ra = rem[j]
+                    seg.append(WordHyp(lab, frame, s - rs, a - ra, l - rl))
+                else:
+                    seg.append(WordHyp(lab, frame, s, a, l))
+            if first and seg:
+                seg[-1] = WordHyp(seg[-1].word, frame, score, float(bf["ac"]),
+                                  float(bf["lm"]))
                 first = False
-            frame = pid // dec.K if pid >= 0 else -1
-            for lab in reversed(labs):
-                hyps.append(WordHyp(lab, frame, s, a, l))
+            segs.append(seg)
             pid = int(self._rec("prev", pid))
-        hyps.reverse()
+        hyps = [h for seg in reversed(segs) for h in seg]
         return DecodeResult(
             words=[h.word for h in hyps],
             word_hyps=hyps,

@@ -474,12 +474,16 @@ class TpuDecoder:
         ac = rows[:, 1] + frow[:, 2]
         i = jnp.argmax(sc)
         better = sc[i] > best["score"]
+        # extras are packed after the 6 base source columns; callers always
+        # pass the source arc first (see _frame_step/_init_carry)
+        src = rows[:, 6].astype(jnp.int32)
         new = {
             "score": jnp.where(better, sc[i], best["score"]),
             "ac": jnp.where(better, ac[i], best["ac"]),
             "lm": jnp.where(better, sc[i] - ac[i] + norm, best["lm"]),
             "path": jnp.where(better, rows[i, 2].astype(jnp.int32), best["path"]),
             "seq": jnp.where(better, frow[i, 3].astype(jnp.int32), best["seq"]),
+            "src": jnp.where(better, src[i], best["src"]),
         }
         records = {
             "score": sc,
@@ -487,6 +491,7 @@ class TpuDecoder:
             "lm": sc - ac + norm,
             "path": rows[:, 2].astype(jnp.int32),
             "seq": frow[:, 3].astype(jnp.int32),
+            "src": src,
             "valid": valid,
             "extra": rows[:, 6:],
         }
@@ -604,7 +609,7 @@ class TpuDecoder:
         entry_path = jnp.where(has_seq, rec_id, g_prev)
 
         # packed row scatter: [arc, score, ac, lm, entry_path, prev, seq,
-        # has_seq, got (, g)]
+        # has_seq, got, src (, g)]
         cols = [
             ck.astype(dt),
             g_score,
@@ -615,6 +620,7 @@ class TpuDecoder:
             g_seq.astype(dt),
             has_seq.astype(dt),
             jnp.ones((E,), dt),
+            cand["src"].astype(dt),
         ]
         if otf:
             cols.append(cg.astype(dt))
@@ -639,6 +645,10 @@ class TpuDecoder:
             "score": jnp.where(rec_valid, landed[:, 1], NEG),
             "ac": jnp.where(rec_valid, landed[:, 2], NEG),
             "lm": jnp.where(rec_valid, landed[:, 3], NEG),
+            # source/landing arcs let the traceback recover crossing-time
+            # per-label scores (artifact.remainders)
+            "src": jnp.where(rec_valid, landed[:, 9].astype(jnp.int32), -1),
+            "arc": jnp.where(rec_valid, landed[:, 0].astype(jnp.int32), -1),
             # observability: surviving + newly allocated insts this frame
             # (the reference's avgActiveModels counters,
             # `WFSTDecoderLite.cpp:230-241`); hits land on live slots and
@@ -649,7 +659,7 @@ class TpuDecoder:
         best_new = jnp.max(jnp.where(w_ok, g_score, NEG))
         fr_new = {"arc": arc_new, "score": score, "ac": ac, "path": path}
         if otf:
-            fr_new["g"] = jnp.where(got, landed[:, 9].astype(jnp.int32), fr["g"])
+            fr_new["g"] = jnp.where(got, landed[:, 10].astype(jnp.int32), fr["g"])
         if pushing:
             fr_new["push_la"] = jnp.where(got, landed[:, -1], fr["push_la"])
         if lat:
@@ -760,15 +770,16 @@ class TpuDecoder:
             jnp.concatenate([Z, cand["ac"]]),
             jnp.concatenate([ZI, cand["prev"]]),
             jnp.concatenate([ZI, cand["seq"]]),
+            jnp.concatenate([ZI, cand["src"]]),
         ]
         if pushing:
             comb_ops.append(jnp.concatenate([Z, cand["la"]]))
         sorted_comb = jax.lax.sort(tuple(comb_ops), num_keys=nk, is_stable=True)
         if otf:
-            (ck, cgk, ckind, g_negscore, g_ac, g_prev, g_seq) = sorted_comb[:7]
+            (ck, cgk, ckind, g_negscore, g_ac, g_prev, g_seq, g_src) = sorted_comb[:8]
             same_key = (ck[1:] == ck[:-1]) & (cgk[1:] == cgk[:-1])
         else:
-            (pk, g_negscore, g_ac, g_prev, g_seq) = sorted_comb[:5]
+            (pk, g_negscore, g_ac, g_prev, g_seq, g_src) = sorted_comb[:6]
             ck = pk // 2
             ckind = pk % 2
             cgk = None
@@ -801,8 +812,8 @@ class TpuDecoder:
         entry_path = jnp.where(has_seq, rec_id, g_prev)
 
         # ---- 3. packed winner scatter ------------------------------------
-        # cols: [arc, score, ac, lm, entry_path, prev, seq, has_seq, got
-        # (, g)(, la)]
+        # cols: [arc, score, ac, lm, entry_path, prev, seq, has_seq, got,
+        # src (, g)(, la)]
         cols = [
             ck.astype(dt),
             g_score,
@@ -813,6 +824,7 @@ class TpuDecoder:
             g_seq.astype(dt),
             has_seq.astype(dt),
             jnp.ones((K + E,), dt),
+            g_src.astype(dt),
         ]
         if otf:
             cols.append(cgk.astype(dt))
@@ -837,6 +849,8 @@ class TpuDecoder:
             "score": jnp.where(rec_valid, landed[:, 1], NEG),
             "ac": jnp.where(rec_valid, landed[:, 2], NEG),
             "lm": jnp.where(rec_valid, landed[:, 3], NEG),
+            "src": jnp.where(rec_valid, landed[:, 9].astype(jnp.int32), -1),
+            "arc": jnp.where(rec_valid, landed[:, 0].astype(jnp.int32), -1),
             # hits land inside the live prefix and must not double-count
             "n_active": n_live + jnp.sum(
                 (got & (jnp.arange(K) >= n_live)).astype(jnp.int32)
@@ -846,7 +860,7 @@ class TpuDecoder:
         best_new = jnp.max(jnp.where(w_ok, g_score, NEG))
         fr_new = {"arc": arc_new, "score": score, "ac": ac, "path": path}
         if otf:
-            fr_new["g"] = jnp.where(got, landed[:, 9].astype(jnp.int32), fr["g"])
+            fr_new["g"] = jnp.where(got, landed[:, 10].astype(jnp.int32), fr["g"])
         if pushing:
             fr_new["push_la"] = jnp.where(got, landed[:, -1], fr["push_la"])
         if lat:
@@ -1026,14 +1040,19 @@ class TpuDecoder:
         f_base = meta[:, 4].astype(jnp.int32)
         f_fan = meta[:, 5].astype(jnp.int32)
         lat = self.cfg.gen_lattice
-        # extra columns broadcast to candidates: [lat event id][, G state]
+        # extra columns broadcast to candidates: [source arc][, lat event
+        # id][, G state]. The source arc is recorded with each path record
+        # so the host traceback can recover per-label crossing-time scores
+        # (artifact.remainders).
         extra = (
-            ((exit_lat,) if lat else ()) + ((fr["g"],) if self.otf else ())
+            (fr["arc"],)
+            + ((exit_lat,) if lat else ()) + ((fr["g"],) if self.otf else ())
         )
         cand = self._expand(
             exit_score, exit_ac, exit_path, ent_base, ent_fan, live_exit,
             extra=extra,
         )
+        cand["src"] = cand["extra"][:, 0].astype(jnp.int32)
         best_final, f_overflow, frecs = self._expand_finals(
             exit_score, exit_ac, exit_path, f_base, f_fan, live_exit,
             carry_best_zero(dt), norm, extra=extra,
@@ -1079,6 +1098,7 @@ class TpuDecoder:
                 "lm": jnp.where(fbetter, frecs["lm"][fi], NEG),
                 "path": jnp.where(fbetter, frecs["path"][fi], -1),
                 "seq": jnp.where(fbetter, frecs["seq"][fi], 0),
+                "src": jnp.where(fbetter, frecs["src"][fi], -1),
             }
 
         fr, rec, best_entry, m_overflow = self._merge_and_insert(fr, cand, t, norm)
@@ -1101,6 +1121,8 @@ class TpuDecoder:
             "rec_score": rec["score"],
             "rec_ac": rec["ac"],
             "rec_lm": rec["lm"],
+            "rec_src": rec["src"],
+            "rec_arc": rec["arc"],
         }
         if cfg.emit_diagnostics:
             # per-frame best-final snapshot: lets a padded batch read the
@@ -1110,6 +1132,7 @@ class TpuDecoder:
             ys["bf_lm"] = best_final["lm"]
             ys["bf_path"] = best_final["path"]
             ys["bf_seq"] = best_final["seq"]
+            ys["bf_src"] = best_final["src"]
             ys["n_active"] = rec["n_active"]
             ys["n_cand"] = cand["n_cand"]
         if lat:
@@ -1119,7 +1142,7 @@ class TpuDecoder:
             # addLatticeEntry on every extendModelEndState call
             # (`WFSTDecoder.cpp:803-1040`, `WFSTLattice.cpp:160-240`).
             # Scores are cumulative; the host subtracts per-event cums.
-            ys["lat_from_ev"] = cand["extra"][:, 0].astype(jnp.int32)
+            ys["lat_from_ev"] = cand["extra"][:, 1].astype(jnp.int32)
             ys["lat_to_arc"] = cand["arc"]
             ys["lat_ac"] = cand["ac"]
             # reconstructed cumulative LM (see _empty_frontier); subtract
@@ -1130,7 +1153,7 @@ class TpuDecoder:
             )
             ys["lat_seq"] = cand["seq"]
             ys["lat_valid"] = cand["valid"]
-            ys["flat_from_ev"] = frecs["extra"][:, 0].astype(jnp.int32)
+            ys["flat_from_ev"] = frecs["extra"][:, 1].astype(jnp.int32)
             ys["flat_ac"] = frecs["ac"]
             ys["flat_lm"] = frecs["lm"]
             ys["flat_seq"] = frecs["seq"]
@@ -1165,12 +1188,14 @@ class TpuDecoder:
         ff = jnp.full((K,), meta0[5], self._dt).astype(jnp.int32)
         lat = self.cfg.gen_lattice
         extra = (
-            ((jnp.full((K,), -1, jnp.int32),) if lat else ())
+            (jnp.full((K,), self.n_arcs, jnp.int32),)  # virtual start src
+            + ((jnp.full((K,), -1, jnp.int32),) if lat else ())
             + ((jnp.full((K,), self.g.init_state, jnp.int32),) if self.otf else ())
         )
         norm0 = jnp.asarray(0.0, dt)
         cand = self._expand(src_score, src_zero, src_path, base, fan, live,
                             extra=extra)
+        cand["src"] = cand["extra"][:, 0].astype(jnp.int32)
         best_final, f_ov, _frecs = self._expand_finals(
             src_score, src_zero, src_path, fb, ff, live,
             carry_best_zero(dt), norm0, extra=extra,
@@ -1193,7 +1218,7 @@ class TpuDecoder:
             best_final = carry_best_zero(dt)  # empty-utterance final unused
         fr, rec0, best_entry, m_ov = self._merge_and_insert(fr, cand, -1, norm0)
         if lat:
-            rec0["lat_from_ev"] = cand["extra"][:, 0].astype(jnp.int32)
+            rec0["lat_from_ev"] = cand["extra"][:, 1].astype(jnp.int32)
             rec0["lat_to_arc"] = cand["arc"]
             rec0["lat_ac"] = cand["ac"]
             rec0["lat_lm"] = (
@@ -1310,6 +1335,10 @@ class TpuDecoder:
                 "lm": np.asarray(ys["bf_lm"])[true_T - 1],
                 "path": np.asarray(ys["bf_path"])[true_T - 1],
                 "seq": np.asarray(ys["bf_seq"])[true_T - 1],
+                "src": (
+                    np.asarray(ys["bf_src"])[true_T - 1]
+                    if "bf_src" in ys else np.int32(-1)
+                ),
             }
             T = true_T
         else:
@@ -1337,38 +1366,84 @@ class TpuDecoder:
         rec_score = np.asarray(ys["rec_score"]).reshape(-1)
         rec_ac = np.asarray(ys["rec_ac"]).reshape(-1)
         rec_lm = np.asarray(ys["rec_lm"]).reshape(-1)
+        # src/landing arcs enable crossing-time word decomposition; absent
+        # on the fused-Pallas record stream (falls back to landing values)
+        rec_src = (
+            np.asarray(ys["rec_src"]).reshape(-1) if "rec_src" in ys else None
+        )
+        rec_arc = (
+            np.asarray(ys["rec_arc"]).reshape(-1) if "rec_arc" in ys else None
+        )
         r0 = {k: np.asarray(v) for k, v in rec0.items()}
         K = self.K
         seqs = self.art.seqs
 
         def rec_fields(pid):
             if pid >= 0:
+                src = int(rec_src[pid]) if rec_src is not None else -1
+                arc = int(rec_arc[pid]) if rec_arc is not None else -1
                 return (
                     int(rec_prev[pid]), int(rec_seq[pid]), float(rec_score[pid]),
-                    float(rec_ac[pid]), float(rec_lm[pid]), pid // K,
+                    float(rec_ac[pid]), float(rec_lm[pid]), pid // K, src, arc,
                 )
             slot = pid + K  # init records encoded as t=-1 -> pid in [-K, 0)
+            # init-propagation words are reported at frame 0, like the
+            # reference (recognitionStart runs with currFrame = 0,
+            # `WFSTDecoderLite.cpp:141`)
             return (
                 int(r0["prev"][slot]), int(r0["seq"][slot]), float(r0["score"][slot]),
-                float(r0["ac"][slot]), float(r0["lm"][slot]), -1,
+                float(r0["ac"][slot]), float(r0["lm"][slot]), 0,
+                int(r0["src"][slot]) if "src" in r0 else -1,
+                int(r0["arc"][slot]) if "arc" in r0 else -1,
             )
 
-        hyps: list[WordHyp] = []
+        # Per-label crossing-time values: a record stores its LANDING
+        # values (entry of the target arc, closure fully applied); the
+        # reference creates each word's Path at the moment its arc is
+        # crossed (propagateToken). The difference is a per-closure-edge
+        # constant precomputed by artifact.remainders; the overall-last
+        # label instead carries the best-final values (recognitionFinish
+        # overwrites the first hist node). OTF records interleave G
+        # weights with the closure and keep landing values.
+        def seg_hyps(labels, frame, s, a, l, rem):
+            out = []
+            for j, lab in enumerate(labels):
+                if rem is not None and j < len(rem):
+                    rs, rl, ra = rem[j]
+                    out.append(WordHyp(lab, frame, s - rs, a - ra, l - rl))
+                else:
+                    out.append(WordHyp(lab, frame, s, a, l))
+            return out
+
+        use_rem = not self.otf
+        segs: list[list[WordHyp]] = []  # last segment first
         fseq = seqs[int(bf["seq"])]
-        for lab in reversed(fseq):
-            hyps.append(WordHyp(lab, T - 1, score, float(bf["ac"]), float(bf["lm"])))
+        if fseq:
+            rem = (
+                self.art.final_remainders(int(bf["src"]), int(bf["seq"]))
+                if use_rem and int(bf["src"]) >= 0 else None
+            )
+            seg = seg_hyps(fseq, T - 1, score, float(bf["ac"]), float(bf["lm"]), rem)
+            seg[-1] = WordHyp(seg[-1].word, T - 1, score, float(bf["ac"]),
+                              float(bf["lm"]))
+            segs.append(seg)
         pid = int(bf["path"])
         first = not fseq
         while pid != -1:
-            prev, seq_id, s, a, l, frame = rec_fields(pid)
+            prev, seq_id, s, a, l, frame, src, arc_b = rec_fields(pid)
             labs = seqs[seq_id]
-            if first:
-                s, a, l = score, float(bf["ac"]), float(bf["lm"])
+            rem = (
+                self.art.remainders(src, arc_b, seq_id)
+                if use_rem and src >= 0 and arc_b >= 0 else None
+            )
+            seg = seg_hyps(labs, frame, s, a, l, rem)
+            if first and seg:
+                seg[-1] = WordHyp(seg[-1].word, frame, score, float(bf["ac"]),
+                                  float(bf["lm"]))
                 first = False
-            for lab in reversed(labs):
-                hyps.append(WordHyp(lab, frame, s, a, l))
+            segs.append(seg)
             pid = prev
-        hyps.reverse()
+        hyps: list[WordHyp] = [h for seg in reversed(segs) for h in seg]
         return DecodeResult(
             words=[h.word for h in hyps],
             word_hyps=hyps,
@@ -1387,4 +1462,5 @@ def carry_best_zero(dt):
         "lm": jnp.asarray(NEG, dt),
         "path": jnp.int32(-1),
         "seq": jnp.int32(0),
+        "src": jnp.int32(-1),
     }
