@@ -1,9 +1,11 @@
 #!/bin/sh
-# Build the REFERENCE's offline WFST tools (gramgen / lexgen) against the
-# minimal Torch3 shim in shim/, for arc-level cross-checking of the
-# jtpu-* rebuilds (tests/test_ref_toolchain.py). The decoder binary
-# itself needs Torch3+Tracter and is not buildable here; these tools'
-# only external dependency is Torch3's CmdLine/general/log_add surface.
+# Build the REFERENCE's offline WFST tools (gramgen / lexgen / cdgen)
+# AND its runtime decoder core (WFSTDecoderLite) against the minimal
+# Torch3/Tracter shims in shim/, for cross-checking the jtpu rebuilds
+# (tests/test_ref_toolchain.py, tests/test_ref_decoder.py). The decoder
+# needs only Models.h (served by ScriptedModels_shim) and a trivial
+# Tracter::Object (TracterObject.h shim), so the full juicer frontend
+# stack is not required.
 #
 # Usage: build.sh <outdir>
 set -e
@@ -33,4 +35,20 @@ $CXX $FLAGS -o "$OUT/cdgen" "$REF/cdgen.cpp" \
     $common "$REF/WFSTCDGen.cpp" "$REF/WFSTNetwork.cpp" \
     "$HERE/shim/HTKModels_shim.cpp"
 
-echo "built: $OUT/gramgen $OUT/lexgen $OUT/cdgen"
+# decoder_oracle: the real WFSTDecoderLite token-passing core, driven by
+# scripted GMM scores (ScriptedModels). USE_DOUBLE_SCORE is the
+# reference's own score_t toggle (src/Makefile.am:24) — token/path
+# scores accumulate in double, so they compare tightly against the f64
+# python oracle (tests/test_ref_decoder.py); inputs are f32-rounded on
+# the python side so both decoders consume bit-identical values.
+# OPT_SINGLE_BEST is left off: ref_core.py transcribes the
+# #ifndef OPT_SINGLE_BEST branch (separate best-start/best-end beams).
+$CXX $FLAGS -DUSE_DOUBLE_SCORE -o "$OUT/decoder_oracle" \
+    "$HERE/decoder_oracle.cpp" \
+    "$REF/WFSTDecoderLite.cpp" "$REF/WFSTNetwork.cpp" \
+    "$REF/DecHypHistPool.cpp" "$REF/BlockMemPool.cpp" \
+    "$REF/Histogram.cpp" "$REF/WFSTLattice.cpp" \
+    "$REF/LogFile.cpp" "$REF/string_stuff.cpp" \
+    "$HERE/shim/ScriptedModels.cpp"
+
+echo "built: $OUT/gramgen $OUT/lexgen $OUT/cdgen $OUT/decoder_oracle"

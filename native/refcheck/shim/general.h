@@ -19,7 +19,10 @@
 #include <unistd.h>
 
 /* Torch3 default build: real = float (the reference's CMakeLists only
- * overrides Token.score to double inside WFSTDecoderLite, not `real`). */
+ * overrides Token.score to double inside WFSTDecoderLite, not `real` —
+ * and IDecoder::processFrame hardcodes float**, so real must stay
+ * float; the decoder oracle instead builds with -DUSE_DOUBLE_SCORE,
+ * the reference's own score_t toggle). */
 typedef float real;
 
 #ifdef __cplusplus
