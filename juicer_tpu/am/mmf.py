@@ -5,7 +5,8 @@ Python rebuild of the flex/bison grammar in
 struct tree (`htkparse.h:78-158`). Grammar coverage: ~o global options
 (HMMSETID, STREAMINFO, VECSIZE, covariance/duration kinds, parm kind),
 ~v variance-floor macros, ~t shared transition matrices, ~s shared states,
-~m shared mixtures, ~h HMMs; per-state NUMMIXES/MIXTURE/MEAN/VARIANCE/GCONST.
+~m shared mixtures (incl. tied-mixture pools), ~h HMMs; per-state
+NUMMIXES/MIXTURE/MEAN/VARIANCE/GCONST and <TMix> tied-mixture states.
 
 GCONST values in the file are parsed but recomputed from the variances at
 model build time, matching `HTKModels::addVarVec`
@@ -37,6 +38,11 @@ class MmfMixture:
 class MmfState:
     name: Optional[str] = None  # macro name if shared (~s)
     mixtures: list[MmfMixture] = field(default_factory=list)
+    # tied-mixture (<TMix>) states: pool name + per-state weight vector;
+    # `mixtures` is still materialized (pool components with these
+    # weights) so downstream consumers need no special casing
+    tmix_pool: Optional[str] = None
+    tmix_weights: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -72,6 +78,11 @@ class MmfDef:
     sh_transmats: dict[str, MmfTransMat] = field(default_factory=dict)
     sh_states: dict[str, MmfState] = field(default_factory=dict)
     sh_mixtures: dict[str, MmfMixture] = field(default_factory=dict)
+    # tied-mixture pools: every ~m macro whose name ends in digits joins
+    # the pool named by the non-digit prefix, in id order (the reference
+    # treats ALL ~m macros this way: `htkparse.y.ypp:147-205` splits the
+    # macro string at the first digit and requires id == pool size + 1)
+    mix_pools: dict[str, list[MmfMixture]] = field(default_factory=dict)
     hmms: list[MmfHmm] = field(default_factory=list)
 
     def resolve_state(self, s: Union[MmfState, str]) -> MmfState:
@@ -182,7 +193,20 @@ def parse_mmf(path_or_text: str, is_text: bool = False) -> MmfDef:
             d.sh_states[name] = _parse_state(tk, d, name)
         elif t == "~m":
             name = tk.next_str()
-            d.sh_mixtures[name] = _parse_mixture_body(tk, d)
+            mix = _parse_mixture_body(tk, d)
+            d.sh_mixtures[name] = mix
+            # pool membership: name = <pool><id> (reference MMACRO rule,
+            # `htkparse.y.ypp:155-205`); ids must arrive in order
+            prefix = name.rstrip("0123456789")
+            if prefix != name and prefix:
+                pool = d.mix_pools.setdefault(prefix, [])
+                mix_id = int(name[len(prefix):])
+                if mix_id != len(pool) + 1:
+                    raise MMFParseError(
+                        f"shared mixture {name!r}: id {mix_id} does not "
+                        f"match pool {prefix!r} size {len(pool)}"
+                    )
+                pool.append(mix)
         elif t == "~h":
             name = tk.next_str()
             d.hmms.append(_parse_hmm(tk, d, name))
@@ -254,7 +278,25 @@ def _parse_state(tk: _Tokens, d: MmfDef, name: Optional[str] = None) -> MmfState
         tk.next()
         n_mixes = tk.next_int()
     if tk.peek_kw() == "TMIX":
-        raise MMFParseError("tied mixtures (<TMix>) not supported")
+        # <TMix> pool w1 .. wn: the state shares the pool's component
+        # densities with a per-state weight vector
+        # (`htkparse.y.ypp:516-544`; weight count must equal pool size)
+        tk.next()
+        pool_name = tk.next_str()
+        pool = d.mix_pools.get(pool_name)
+        if pool is None:
+            raise MMFParseError(
+                f"<TMix> pool {pool_name!r} not found (no ~m "
+                f'"{pool_name}<n>" macros seen)'
+            )
+        weights = tk.next_floats(len(pool))
+        st.tmix_pool = pool_name
+        st.tmix_weights = weights
+        st.mixtures = [
+            MmfMixture(float(w), m.mean, m.var, m.gconst)
+            for w, m in zip(weights, pool)
+        ]
+        return st
     if tk.peek_kw() == "MIXTURE":
         while tk.peek_kw() == "MIXTURE":
             tk.next()
@@ -378,6 +420,10 @@ def _write_mixture_body(fd, m: MmfMixture) -> None:
 
 
 def _write_state(fd, s: MmfState) -> None:
+    if s.tmix_pool is not None:
+        fd.write(f"<NUMMIXES> {len(s.tmix_weights)}\n")
+        fd.write(f"<TMIX> {s.tmix_pool} {_fmt_vec(np.asarray(s.tmix_weights))}\n")
+        return
     if len(s.mixtures) > 1:
         fd.write(f"<NUMMIXES> {len(s.mixtures)}\n")
         for i, m in enumerate(s.mixtures):

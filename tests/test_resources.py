@@ -305,6 +305,208 @@ class TestMMF:
                 assert abs(ms1.calc_output(h, j, x) - ms2.calc_output(h, j, x)) < 1e-12
             np.testing.assert_allclose(ms1.get_trans_mat(h), ms2.get_trans_mat(h))
 
+    def test_tmix_parses_scores_and_roundtrips(self, tmp_path):
+        """<TMix> tied-mixture states (htkparse.y.ypp:516-544): shared ~m
+        pool components + per-state weight vectors. Scoring must equal an
+        equivalent untied MMF; write/parse must round-trip."""
+        pool = """~o <VECSIZE> 2 <NULLD><DIAGC>
+~m "tied1"
+<MEAN> 2
+ 0.0 0.0
+<VARIANCE> 2
+ 1.0 1.0
+~m "tied2"
+<MEAN> 2
+ 1.0 -1.0
+<VARIANCE> 2
+ 2.0 0.5
+~m "tied3"
+<MEAN> 2
+ -2.0 2.0
+<VARIANCE> 2
+ 1.5 1.5
+~h "tm"
+<BEGINHMM>
+<NUMSTATES> 4
+<STATE> 2
+<NUMMIXES> 3
+<TMIX> tied 0.2 0.5 0.3
+<STATE> 3
+<NUMMIXES> 3
+<TMIX> tied 0.6 0.0 0.4
+<TRANSP> 4
+ 0.0 1.0 0.0 0.0
+ 0.0 0.5 0.5 0.0
+ 0.0 0.0 0.5 0.5
+ 0.0 0.0 0.0 0.0
+<ENDHMM>
+"""
+        d = parse_mmf(pool, is_text=True)
+        assert "tied" in d.mix_pools and len(d.mix_pools["tied"]) == 3
+        st = d.hmms[0].states[0]
+        assert st.tmix_pool == "tied"
+        np.testing.assert_allclose(st.tmix_weights, [0.2, 0.5, 0.3])
+        ms = AcousticModelSet.from_def(d)
+
+        # equivalent untied model: same components inlined per state
+        untied = pool.split('~h')[0].split('~m')[0] + """~h "tm"
+<BEGINHMM>
+<NUMSTATES> 4
+<STATE> 2
+<NUMMIXES> 3
+<MIXTURE> 1 0.2
+<MEAN> 2
+ 0.0 0.0
+<VARIANCE> 2
+ 1.0 1.0
+<MIXTURE> 2 0.5
+<MEAN> 2
+ 1.0 -1.0
+<VARIANCE> 2
+ 2.0 0.5
+<MIXTURE> 3 0.3
+<MEAN> 2
+ -2.0 2.0
+<VARIANCE> 2
+ 1.5 1.5
+<STATE> 3
+<NUMMIXES> 3
+<MIXTURE> 1 0.6
+<MEAN> 2
+ 0.0 0.0
+<VARIANCE> 2
+ 1.0 1.0
+<MIXTURE> 2 0.0
+<MEAN> 2
+ 1.0 -1.0
+<VARIANCE> 2
+ 2.0 0.5
+<MIXTURE> 3 0.4
+<MEAN> 2
+ -2.0 2.0
+<VARIANCE> 2
+ 1.5 1.5
+<TRANSP> 4
+ 0.0 1.0 0.0 0.0
+ 0.0 0.5 0.5 0.0
+ 0.0 0.0 0.5 0.5
+ 0.0 0.0 0.0 0.0
+<ENDHMM>
+"""
+        ms_ref = AcousticModelSet.from_def(parse_mmf(untied, is_text=True))
+        rng = np.random.default_rng(3)
+        for _ in range(5):
+            x = rng.normal(size=2)
+            for j in (1, 2):
+                assert abs(ms.calc_output(0, j, x) - ms_ref.calc_output(0, j, x)) < 1e-12
+
+        # round-trip through the writer preserves TMix structure + scores
+        p = tmp_path / "tmix.mmf"
+        write_mmf(d, p)
+        d2 = parse_mmf(str(p))
+        assert d2.hmms[0].states[0].tmix_pool == "tied"
+        ms2 = AcousticModelSet.from_def(d2)
+        x = np.array([0.3, -0.7])
+        for j in (1, 2):
+            assert abs(ms.calc_output(0, j, x) - ms2.calc_output(0, j, x)) < 1e-9
+
+    def test_tmix_bad_pool_rejected(self):
+        bad = """~o <VECSIZE> 2 <NULLD><DIAGC>
+~h "x"
+<BEGINHMM>
+<NUMSTATES> 3
+<STATE> 2
+<NUMMIXES> 2
+<TMIX> nosuch 0.5 0.5
+<TRANSP> 3
+ 0.0 1.0 0.0
+ 0.0 0.5 0.5
+ 0.0 0.0 0.0
+<ENDHMM>
+"""
+        from juicer_tpu.am.mmf import MMFParseError
+
+        with pytest.raises(MMFParseError, match="pool"):
+            parse_mmf(bad, is_text=True)
+
+    def test_tmix_decodes(self):
+        """A TMix model set drives a full decode (engine + oracle parity)."""
+        import jax
+
+        from juicer_tpu.fst import Fst, LOG
+        from juicer_tpu.decoder import DecoderNetwork, RefDecoder, TpuDecoder
+        from juicer_tpu.decoder.artifact import DecoderArtifact
+        from juicer_tpu.decoder.tpu_core import TpuDecoderConfig
+
+        mmf = """~o <VECSIZE> 2 <NULLD><DIAGC>
+~m "p1"
+<MEAN> 2
+ 0.0 0.0
+<VARIANCE> 2
+ 1.0 1.0
+~m "p2"
+<MEAN> 2
+ 2.0 2.0
+<VARIANCE> 2
+ 1.0 1.0
+~h "a"
+<BEGINHMM>
+<NUMSTATES> 4
+<STATE> 2
+<NUMMIXES> 2
+<TMIX> p 0.7 0.3
+<STATE> 3
+<NUMMIXES> 2
+<TMIX> p 0.2 0.8
+<TRANSP> 4
+ 0.0 1.0 0.0 0.0
+ 0.0 0.5 0.5 0.0
+ 0.0 0.0 0.5 0.5
+ 0.0 0.0 0.0 0.0
+<ENDHMM>
+~h "b"
+<BEGINHMM>
+<NUMSTATES> 4
+<STATE> 2
+<NUMMIXES> 2
+<TMIX> p 0.5 0.5
+<STATE> 3
+<NUMMIXES> 2
+<TMIX> p 0.9 0.1
+<TRANSP> 4
+ 0.0 1.0 0.0 0.0
+ 0.0 0.5 0.5 0.0
+ 0.0 0.0 0.5 0.5
+ 0.0 0.0 0.0 0.0
+<ENDHMM>
+"""
+        ms = AcousticModelSet.from_def(parse_mmf(mmf, is_text=True))
+        f = Fst(LOG)
+        s0, s1, s2 = (f.add_state() for _ in range(3))
+        f.set_start(s0)
+        f.add_arc(s0, s1, 1, 1, 0.0)
+        f.add_arc(s1, s2, 2, 2, 0.0)
+        f.set_final(s2, 0.0)
+        net = DecoderNetwork(f)
+        rng = np.random.default_rng(0)
+        T = 8
+        sc = np.stack([ms.score_all(rng.normal(size=2)) for _ in range(T)])
+        jax.config.update("jax_enable_x64", True)
+        try:
+            r_ref = RefDecoder(net, ms).decode(
+                score_fn=lambda t, g: float(sc[t, g]), n_frames=T)
+            tpu = TpuDecoder(
+                DecoderArtifact(net, ms),
+                TpuDecoderConfig(max_insts=16, expand_budget=32,
+                                 final_budget=16, dtype="float64"),
+            )
+            r_tpu = tpu.decode_scores(sc)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+        assert not r_ref.empty
+        assert r_ref.words == r_tpu.words == [1, 2]
+        assert abs(r_ref.score - r_tpu.score) < 1e-6
+
     def test_hybrid_mode(self):
         ms = AcousticModelSet.hybrid(["aa", "bb", "cc"], np.array([0.5, 0.3, 0.2]), 5)
         assert ms.n_hmms == 3
