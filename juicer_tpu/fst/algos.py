@@ -704,6 +704,68 @@ def epsnormalize_input(f: Fst, delta: float = 1e-9) -> Fst:
 # ---------------------------------------------------------------------------
 
 
+def _determinize_native(f: Fst) -> "Optional[Fst]":
+    """Native subset construction (native/jtpu_native.cpp
+    jtpu_determinize): same semantics as the Python path below, ~100x
+    faster at WSJ scale. Returns None when the native library is
+    unavailable."""
+    try:
+        from ..native import determinize as native_det
+    except ImportError:
+        return None
+    import numpy as np
+
+    n = f.num_states
+    src = np.asarray(f.arc_src, np.int64)
+    order = np.argsort(src, kind="stable")
+    counts = np.bincount(src, minlength=n) if len(src) else np.zeros(n, np.int64)
+    row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    final_w = np.full(n, INF, np.float64)
+    for s, w in f.finals.items():
+        final_w[s] = w
+    d = native_det(
+        n, f.start, row_ptr,
+        np.asarray(f.arc_dst, np.int32)[order],
+        np.asarray(f.arc_ilabel, np.int32)[order],
+        np.asarray(f.arc_olabel, np.int32)[order],
+        np.asarray(f.arc_weight, np.float64)[order],
+        final_w, f.semiring.name,
+    )
+    if d is None:
+        return None
+    sr = f.semiring
+    g = Fst(sr)
+    g.isyms, g.osyms = f.isyms, f.osyms
+    g.num_states = d["n_states"]
+    g.start = 0
+    str_off, str_len, str_labels = d["str_off"], d["str_len"], d["str_labels"]
+
+    def ostr(i):
+        o, L = int(str_off[i]), int(str_len[i])
+        return tuple(int(x) for x in str_labels[o : o + L])
+
+    for a in range(len(d["arc_src"])):
+        s, t = int(d["arc_src"][a]), int(d["arc_dst"][a])
+        il, w = int(d["arc_il"][a]), float(d["arc_w"][a])
+        o = ostr(int(d["arc_ostr"][a]))
+        if len(o) <= 1:
+            g.add_arc(s, t, il, o[0] if o else EPSILON, w)
+        else:
+            mid = g.add_state()
+            g.add_arc(s, mid, il, o[0], w)
+            _factor_string(g, mid, t, EPSILON, o[1:], sr.one)
+    for i in range(len(d["fin_sid"])):
+        sid, w = int(d["fin_sid"][i]), float(d["fin_w"][i])
+        o = ostr(int(d["fin_ostr"][i]))
+        if not o:
+            g.finals[sid] = sr.plus(g.finals.get(sid, sr.zero), w)
+        else:
+            end = g.add_state()
+            _factor_string(g, sid, end, EPSILON, o, w)
+            g.finals[end] = sr.plus(g.finals.get(end, sr.zero), sr.one)
+    return g
+
+
 def determinize(f: Fst, delta: float = 1e-6) -> Fst:
     """Weighted determinization.
 
@@ -712,10 +774,18 @@ def determinize(f: Fst, delta: float = 1e-6) -> Fst:
     outputs are handled with string residuals; leftover strings at final
     states or common prefixes longer than one are factored into eps-input
     chains. Requires the (gallic) twins property to terminate.
+
+    Dispatches to the native C++ subset construction when available (the
+    WSJ-scale pipeline bottleneck, PERF.md §2b); the pure-Python path
+    below is the reference implementation and fallback.
     """
     sr = f.semiring
     if f.start < 0:
         return Fst(sr)
+    if sr.name in ("tropical", "log"):
+        g = _determinize_native(f)
+        if g is not None:
+            return g
     adj = f.out_arcs()
     g = Fst(sr)
     g.isyms, g.osyms = f.isyms, f.osyms

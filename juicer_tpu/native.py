@@ -6,6 +6,8 @@ rebuilt when the source is newer) and exposes:
   - parse_fsm(path): fast AT&T text FSM parsing -> numpy arrays
   - closure(...): the offline eps/tee closure expansion used by
     decoder/artifact.py
+  - determinize(...): weighted subset construction (fst/algos.determinize
+    twin) for the WSJ-scale offline pipeline
 
 Falls back gracefully (returns None / raises ImportError) when no C++
 toolchain is available; all callers keep a pure-Python path.
@@ -68,6 +70,28 @@ class _ClosureResult(ctypes.Structure):
     ]
 
 
+class _DetResult(ctypes.Structure):
+    _fields_ = [
+        ("n_states", ctypes.c_int64),
+        ("n_arcs", ctypes.c_int64),
+        ("arc_src", ctypes.POINTER(ctypes.c_int32)),
+        ("arc_dst", ctypes.POINTER(ctypes.c_int32)),
+        ("arc_il", ctypes.POINTER(ctypes.c_int32)),
+        ("arc_ostr", ctypes.POINTER(ctypes.c_int32)),
+        ("arc_w", ctypes.POINTER(ctypes.c_double)),
+        ("n_finals", ctypes.c_int64),
+        ("fin_sid", ctypes.POINTER(ctypes.c_int32)),
+        ("fin_ostr", ctypes.POINTER(ctypes.c_int32)),
+        ("fin_w", ctypes.POINTER(ctypes.c_double)),
+        ("n_strs", ctypes.c_int64),
+        ("str_off", ctypes.POINTER(ctypes.c_int64)),
+        ("str_len", ctypes.POINTER(ctypes.c_int32)),
+        ("str_labels", ctypes.POINTER(ctypes.c_int32)),
+        ("n_labels", ctypes.c_int64),
+        ("error", ctypes.c_int32),
+    ]
+
+
 def _build() -> bool:
     os.makedirs(_LIB_DIR, exist_ok=True)
     try:
@@ -112,6 +136,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
         ]
         lib.jtpu_free_closure.argtypes = [ctypes.POINTER(_ClosureResult)]
+        lib.jtpu_determinize.restype = ctypes.POINTER(_DetResult)
+        lib.jtpu_determinize.argtypes = [
+            ctypes.c_int64, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64), np.ctypeslib.ndpointer(np.float64),
+            ctypes.c_int32, ctypes.c_int64,
+        ]
+        lib.jtpu_free_determinize.argtypes = [ctypes.POINTER(_DetResult)]
         _lib = lib
         return _lib
 
@@ -143,6 +176,50 @@ def parse_fsm(path: str):
         int(r.init_state),
     )
     lib.jtpu_free_fsm(rp)
+    return out
+
+
+def determinize(n_states, start, row_ptr, arc_dst, arc_il, arc_ol, arc_w,
+                final_w, semiring: str, max_subsets=50_000_000):
+    """Native weighted determinization. Returns a dict of numpy arrays
+    (arcs with interned output-string ids + the string table) or None if
+    the native library is unavailable. Raises RuntimeError on subset
+    blow-up (mirrors the pure-Python guard)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    sr = {"tropical": 0, "log": 1}[semiring]
+    rp = lib.jtpu_determinize(
+        int(n_states), int(start),
+        np.ascontiguousarray(row_ptr, np.int64),
+        np.ascontiguousarray(arc_dst, np.int32),
+        np.ascontiguousarray(arc_il, np.int32),
+        np.ascontiguousarray(arc_ol, np.int32),
+        np.ascontiguousarray(arc_w, np.float64),
+        np.ascontiguousarray(final_w, np.float64),
+        sr, int(max_subsets),
+    )
+    if not rp:
+        raise RuntimeError("jtpu_determinize failed")
+    r = rp.contents
+    if r.error:
+        lib.jtpu_free_determinize(rp)
+        raise RuntimeError("determinize: subset blow-up (not determinizable?)")
+    out = {
+        "n_states": int(r.n_states),
+        "arc_src": _copy(r.arc_src, r.n_arcs, np.int32),
+        "arc_dst": _copy(r.arc_dst, r.n_arcs, np.int32),
+        "arc_il": _copy(r.arc_il, r.n_arcs, np.int32),
+        "arc_ostr": _copy(r.arc_ostr, r.n_arcs, np.int32),
+        "arc_w": _copy(r.arc_w, r.n_arcs, np.float64),
+        "fin_sid": _copy(r.fin_sid, r.n_finals, np.int32),
+        "fin_ostr": _copy(r.fin_ostr, r.n_finals, np.int32),
+        "fin_w": _copy(r.fin_w, r.n_finals, np.float64),
+        "str_off": _copy(r.str_off, r.n_strs, np.int64),
+        "str_len": _copy(r.str_len, r.n_strs, np.int32),
+        "str_labels": _copy(r.str_labels, r.n_labels, np.int32),
+    }
+    lib.jtpu_free_determinize(rp)
     return out
 
 

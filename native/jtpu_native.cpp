@@ -14,10 +14,16 @@
 //
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 dependency).
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
+#include <limits>
+#include <string>
+#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -332,6 +338,320 @@ void jtpu_free_closure(ClosureResult *r) {
     free(r->fin_seq_off);
     free(r->fin_seq_len);
     free(r->labels);
+    free(r);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Weighted determinization (subset construction with string residuals)
+//
+// The native twin of fst/algos.determinize: identical semantics (epsilon
+// treated as a regular symbol, gallic string residuals, weight keys
+// quantized at 1e-6 with round-half-to-even like Python round()), built
+// for the offline pipeline's WSJ-scale det(L.G) where the pure-Python
+// subset construction is the dominant cost (PERF.md S2b: ~18 min of a
+// 21-min 20k-word build). Emits arcs/finals with interned output-string
+// ids; the Python wrapper does the eps-chain factoring.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr double kInf = std::numeric_limits<double>::infinity();
+constexpr double kKeyDelta = 1e-6;
+
+inline double det_plus(int32_t semiring, double a, double b) {
+    if (semiring == 0) return a <= b ? a : b;  // tropical
+    if (a == kInf) return b;
+    if (b == kInf) return a;
+    double lo = a <= b ? a : b, hi = a <= b ? b : a;
+    return lo - log1p(exp(lo - hi));
+}
+
+inline int64_t det_qw(double w) {
+    if (w == kInf) return (int64_t)1 << 62;
+    // match Python round(): nearest, ties to even
+    return (int64_t)nearbyint(w / kKeyDelta);
+}
+
+struct DetElem {
+    int32_t state;
+    int32_t ostr;
+    double w;
+};
+
+struct StrPool {
+    std::vector<int32_t> labels;
+    std::vector<int64_t> off;
+    std::vector<int32_t> len;
+    std::unordered_map<std::string, int32_t> index;
+    std::unordered_map<int64_t, int32_t> extend_memo;
+
+    StrPool() { intern(nullptr, 0); }  // id 0 = empty string
+
+    int32_t intern(const int32_t *labs, int32_t n) {
+        std::string key((const char *)labs, (size_t)n * sizeof(int32_t));
+        auto it = index.find(key);
+        if (it != index.end()) return it->second;
+        int32_t id = (int32_t)off.size();
+        off.push_back((int64_t)labels.size());
+        len.push_back(n);
+        labels.insert(labels.end(), labs, labs + n);
+        index.emplace(std::move(key), id);
+        return id;
+    }
+
+    int32_t extend(int32_t base, int32_t lab) {
+        int64_t memo_key = ((int64_t)base << 32) | (uint32_t)lab;
+        auto it = extend_memo.find(memo_key);
+        if (it != extend_memo.end()) return it->second;
+        std::vector<int32_t> tmp(labels.begin() + off[base],
+                                 labels.begin() + off[base] + len[base]);
+        tmp.push_back(lab);
+        int32_t id = intern(tmp.data(), (int32_t)tmp.size());
+        extend_memo.emplace(memo_key, id);
+        return id;
+    }
+
+    int32_t suffix(int32_t base, int32_t skip) {
+        if (skip == 0) return base;
+        return intern(labels.data() + off[base] + skip, len[base] - skip);
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+struct DetResult {
+    int64_t n_states;
+    int64_t n_arcs;
+    int32_t *arc_src;
+    int32_t *arc_dst;
+    int32_t *arc_il;
+    int32_t *arc_ostr;  // string id
+    double *arc_w;
+    int64_t n_finals;
+    int32_t *fin_sid;
+    int32_t *fin_ostr;
+    double *fin_w;
+    // string table
+    int64_t n_strs;
+    int64_t *str_off;
+    int32_t *str_len;
+    int32_t *str_labels;
+    int64_t n_labels;
+    int32_t error;  // 1 = subset blow-up
+};
+
+DetResult *jtpu_determinize(
+    int64_t n_states,
+    int32_t start,
+    const int64_t *row_ptr,
+    const int32_t *arc_dst,
+    const int32_t *arc_il,
+    const int32_t *arc_ol,
+    const double *arc_w,
+    const double *final_w,  // per state, +inf if not final
+    int32_t semiring,       // 0 = tropical, 1 = log
+    int64_t max_subsets
+) {
+    (void)n_states;
+    StrPool strs;
+    std::unordered_map<std::string, int32_t> smap;
+    std::deque<std::vector<DetElem>> queue_subsets;
+    std::deque<int32_t> queue_sids;
+    int64_t n_det_states = 0;
+    bool overflow = false;
+
+    std::vector<int32_t> out_src, out_dst, out_il, out_ostr;
+    std::vector<double> out_w;
+    std::vector<int32_t> out_fsid, out_fostr;
+    std::vector<double> out_fw;
+
+    auto canon_key = [](std::vector<DetElem> &subset) {
+        std::sort(subset.begin(), subset.end(),
+                  [](const DetElem &a, const DetElem &b) {
+                      if (a.state != b.state) return a.state < b.state;
+                      return a.ostr < b.ostr;
+                  });
+        std::string key;
+        key.reserve(subset.size() * 16);
+        for (const DetElem &e : subset) {
+            int64_t q = det_qw(e.w);
+            key.append((const char *)&e.state, sizeof(e.state));
+            key.append((const char *)&q, sizeof(q));
+            key.append((const char *)&e.ostr, sizeof(e.ostr));
+        }
+        return key;
+    };
+
+    auto get_state = [&](std::vector<DetElem> subset) -> int32_t {
+        std::string key = canon_key(subset);
+        auto it = smap.find(key);
+        if (it != smap.end()) return it->second;
+        int32_t sid = (int32_t)n_det_states++;
+        smap.emplace(std::move(key), sid);
+        queue_subsets.push_back(std::move(subset));
+        queue_sids.push_back(sid);
+        return sid;
+    };
+
+    get_state({{start, 0, 0.0}});
+
+    struct Cand {
+        int32_t il, dst, ostr;
+        double w;
+    };
+    std::vector<Cand> cands;
+
+    while (!queue_subsets.empty()) {
+        std::vector<DetElem> subset = std::move(queue_subsets.front());
+        queue_subsets.pop_front();
+        int32_t sid = queue_sids.front();
+        queue_sids.pop_front();
+
+        // finality, grouped by residual string
+        {
+            std::unordered_map<int32_t, double> finals;
+            for (const DetElem &e : subset) {
+                double fw = final_w[e.state];
+                if (fw != kInf) {
+                    double tw = e.w + fw;
+                    auto it = finals.find(e.ostr);
+                    if (it == finals.end())
+                        finals.emplace(e.ostr, tw);
+                    else
+                        it->second = det_plus(semiring, it->second, tw);
+                }
+            }
+            for (auto &kv : finals) {
+                out_fsid.push_back(sid);
+                out_fostr.push_back(kv.first);
+                out_fw.push_back(kv.second);
+            }
+        }
+
+        // expand all member arcs, group by (il, dst, nstr)
+        cands.clear();
+        for (const DetElem &e : subset) {
+            for (int64_t ai = row_ptr[e.state]; ai < row_ptr[e.state + 1];
+                 ai++) {
+                int32_t ol = arc_ol[ai];
+                int32_t nstr =
+                    ol == 0 ? e.ostr : strs.extend(e.ostr, ol);
+                cands.push_back(
+                    {arc_il[ai], arc_dst[ai], nstr, e.w + arc_w[ai]});
+            }
+        }
+        std::sort(cands.begin(), cands.end(),
+                  [](const Cand &a, const Cand &b) {
+                      if (a.il != b.il) return a.il < b.il;
+                      if (a.dst != b.dst) return a.dst < b.dst;
+                      return a.ostr < b.ostr;
+                  });
+        size_t i = 0, n = cands.size();
+        while (i < n) {
+            // one input-label group [i, jend)
+            size_t jend = i;
+            int32_t il = cands[i].il;
+            while (jend < n && cands[jend].il == il) jend++;
+            // combine duplicate (dst, ostr) and fold the group total
+            size_t wpos = i;
+            double total = kInf;
+            for (size_t j = i; j < jend;) {
+                size_t k = j + 1;
+                double cw = cands[j].w;
+                while (k < jend && cands[k].dst == cands[j].dst &&
+                       cands[k].ostr == cands[j].ostr) {
+                    cw = det_plus(semiring, cw, cands[k].w);
+                    k++;
+                }
+                cands[wpos] = cands[j];
+                cands[wpos].w = cw;
+                total = det_plus(semiring, total, cw);
+                wpos++;
+                j = k;
+            }
+            // common output prefix across the group
+            int32_t p0 = cands[i].ostr;
+            int32_t plen = strs.len[p0];
+            for (size_t j = i + 1; j < wpos && plen > 0; j++) {
+                int32_t o = cands[j].ostr;
+                int32_t m = strs.len[o] < plen ? strs.len[o] : plen;
+                int32_t k = 0;
+                const int32_t *a = strs.labels.data() + strs.off[p0];
+                const int32_t *b = strs.labels.data() + strs.off[o];
+                while (k < m && a[k] == b[k]) k++;
+                plen = k;
+            }
+            int32_t prefix = strs.suffix(p0, 0);
+            if (plen < strs.len[p0])
+                prefix = strs.intern(strs.labels.data() + strs.off[p0], plen);
+            // residual subset
+            std::vector<DetElem> nsub;
+            nsub.reserve(wpos - i);
+            for (size_t j = i; j < wpos; j++) {
+                double rw = cands[j].w == kInf ? kInf : cands[j].w - total;
+                nsub.push_back(
+                    {cands[j].dst, strs.suffix(cands[j].ostr, plen), rw});
+            }
+            int32_t nsid = get_state(std::move(nsub));
+            out_src.push_back(sid);
+            out_dst.push_back(nsid);
+            out_il.push_back(il);
+            out_ostr.push_back(prefix);
+            out_w.push_back(total);
+            i = jend;
+        }
+
+        if (n_det_states > max_subsets) {
+            overflow = true;
+            break;
+        }
+    }
+
+    DetResult *r = (DetResult *)malloc(sizeof(DetResult));
+    memset(r, 0, sizeof(DetResult));
+    r->error = overflow ? 1 : 0;
+    if (!overflow) {
+        r->n_states = n_det_states;
+        r->n_arcs = (int64_t)out_src.size();
+        r->n_finals = (int64_t)out_fsid.size();
+        r->n_strs = (int64_t)strs.off.size();
+        r->n_labels = (int64_t)strs.labels.size();
+#define DCOPY(vec, field, type)                                   \
+    r->field = (type *)malloc((vec.size() + 1) * sizeof(type));   \
+    memcpy(r->field, vec.data(), vec.size() * sizeof(type));
+        DCOPY(out_src, arc_src, int32_t)
+        DCOPY(out_dst, arc_dst, int32_t)
+        DCOPY(out_il, arc_il, int32_t)
+        DCOPY(out_ostr, arc_ostr, int32_t)
+        DCOPY(out_w, arc_w, double)
+        DCOPY(out_fsid, fin_sid, int32_t)
+        DCOPY(out_fostr, fin_ostr, int32_t)
+        DCOPY(out_fw, fin_w, double)
+        DCOPY(strs.off, str_off, int64_t)
+        DCOPY(strs.len, str_len, int32_t)
+        DCOPY(strs.labels, str_labels, int32_t)
+#undef DCOPY
+    }
+    return r;
+}
+
+void jtpu_free_determinize(DetResult *r) {
+    if (!r) return;
+    free(r->arc_src);
+    free(r->arc_dst);
+    free(r->arc_il);
+    free(r->arc_ostr);
+    free(r->arc_w);
+    free(r->fin_sid);
+    free(r->fin_ostr);
+    free(r->fin_w);
+    free(r->str_off);
+    free(r->str_len);
+    free(r->str_labels);
     free(r);
 }
 
