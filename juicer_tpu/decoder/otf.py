@@ -20,8 +20,10 @@ TPU-native redesign:
     sorted arc ranges.
 
 Label-and-weight pushing (`WFSTLabelPushingNetwork` anticipated output
-sets + `PushingWeightCache`) is a planned optimization; the non-pushing
-mode here is the reference's default-equivalent search.
+sets + `PushingWeightCache`) is implemented in the engine
+(`tpu_core` otf_pushing mode: singleton anticipated labels add their G
+weight at instance entry and are compensated at exit) and in the oracle
+below; fuzz-checked against each other in tests/test_fuzz_parity.py.
 """
 
 from __future__ import annotations
@@ -47,7 +49,8 @@ class GNetwork:
     (`WFSTGramGen` emits one backoff arc per context).
     """
 
-    def __init__(self, fst: Fst, lm_scale: float = 1.0, phi_label: int = -1):
+    def __init__(self, fst: Fst, lm_scale: float = 1.0, phi_label: int = -1,
+                 pad_cap: int = 64):
         src, dst, il, ol, w = fst.arcs_numpy()
         weight = -w * lm_scale
         self.n_states = fst.num_states
@@ -83,7 +86,7 @@ class GNetwork:
             [self._final_reach(s) for s in range(self.n_states)], dtype=np.float64
         )
         self.max_backoff = self._max_backoff_depth()
-        self._build_tpu_tables(pad_cap=64)
+        self._build_tpu_tables(pad_cap=pad_cap)
 
     def _build_tpu_tables(self, pad_cap: int) -> None:
         """TPU lookup layout replacing the reference's per-hypothesis
@@ -108,8 +111,22 @@ class GNetwork:
         self.dense_w = np.zeros((D, self.W), np.float64)
         for k, s in enumerate(dense_states):
             lo, hi = int(self.row_ptr[s]), int(self.row_ptr[s + 1])
-            self.dense_dst[k, self.arc_il[lo:hi]] = self.arc_dst[lo:hi]
-            self.dense_w[k, self.arc_il[lo:hi]] = self.arc_w[lo:hi]
+            # reversed assignment so the FIRST of duplicate (state, il)
+            # arcs wins, matching both the packed-row path's cumsum guard
+            # and the reference's binarySearchInLabel (which lands on the
+            # first entry of an equal-label run)
+            rev = slice(hi - 1, lo - 1 if lo else None, -1)
+            self.dense_dst[k, self.arc_il[rev]] = self.arc_dst[rev]
+            self.dense_w[k, self.arc_il[rev]] = self.arc_w[rev]
+        if len(dense_states) * self.W > 4_000_000:
+            import warnings
+
+            warnings.warn(
+                f"GNetwork: {len(dense_states)} G states exceed pad_cap="
+                f"{R}; dense word tables are {len(dense_states)}x{self.W} "
+                f"({len(dense_states) * self.W * 12 / 1e6:.0f} MB). "
+                f"Raise pad_cap to shrink them."
+            )
         # padded rows for sparse states (il 0 = eps can never match a word)
         self.pad_il = np.zeros((nG, R), np.int32)
         self.pad_dst = np.zeros((nG, R), np.int32)
