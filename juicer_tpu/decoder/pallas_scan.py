@@ -48,7 +48,8 @@ from .tpu_core import NEG, TpuDecoder
 HI = jax.lax.Precision.HIGHEST
 
 _REC_NAMES = ["rec_prev", "rec_seq", "rec_score", "rec_ac", "rec_lm",
-              "bf_score", "bf_ac", "bf_lm", "bf_path", "bf_seq",
+              "rec_src", "rec_arc",
+              "bf_score", "bf_ac", "bf_lm", "bf_path", "bf_seq", "bf_src",
               "n_active", "n_cand"]
 
 
@@ -292,11 +293,11 @@ class PallasDecodeScan:
         nck = len(self._carry_keys)
         cin = dict(zip(self._carry_keys, refs[:nck]))
         cout = dict(zip(self._carry_keys, refs[nck:2 * nck]))
-        outs = dict(zip(_REC_NAMES, refs[2 * nck:2 * nck + 12]))
+        outs = dict(zip(_REC_NAMES, refs[2 * nck:2 * nck + 15]))
         (exsc_s, exac_s, expa_s, fanw_s, offs_s, live_s, arcc_s,
          ffan_s, foff_s, land_s, got_s,
          total_s, nliv_s, ftot_s, bent_s, ovf2_s,
-         bfsc_s, bfac_s, bfpa_s, bfsq_s) = refs[2 * nck + 12:]
+         bfsc_s, bfac_s, bfpa_s, bfsq_s, bfsr_s) = refs[2 * nck + 15:]
 
         t_in_chunk = pl.program_id(0)
         dead = float(sh.n_arcs + 1)
@@ -564,15 +565,18 @@ class PallasDecodeScan:
             def fpick(x):
                 return jnp.sum(jnp.where(foh, x, 0.0), axis=1, keepdims=True)
 
+            fs_arc = fbcast(arc_g)
             bf_sc = fpick(fsc)
             bf_ac = fpick(fac)
             bf_pa = fpick(fs_pa)
             bf_sq = fpick(frow[:, :, 3])
+            bf_sr = fpick(fs_arc)
             fbetter = bf_sc > NEG
             bf_sc = jnp.where(fbetter, bf_sc, NEG)
             bf_ac = jnp.where(fbetter, bf_ac, NEG)
             bf_pa = jnp.where(fbetter, bf_pa, -1.0)
             bf_sq = jnp.where(fbetter, bf_sq, 0.0)
+            bf_sr = jnp.where(fbetter, bf_sr, -1.0)
             if self.debug_stage == 6:
                 bent_s[sl, :] = bf_sc
                 return 0
@@ -643,11 +647,14 @@ class PallasDecodeScan:
             entry_path = jnp.where(has_seq, rec_id, s_pa)
             g_lm = gsc - cand_ac + norm_g
 
+            s_arc = bcast(arc_g)  # candidate source arc (for traceback
+            #                        crossing-time word decomposition)
             cols = [
                 ck, gsc, cand_ac, g_lm, entry_path, s_pa, cand_seq,
                 has_seq.astype(jnp.float32),
                 erow[:, :, 4], erow[:, :, 5], erow[:, :, 6],
                 erow[:, :, 7], erow[:, :, 8], erow[:, :, 9],
+                s_arc,
             ]
             for c, colv in enumerate(cols):
                 land_s[c, sl, :] = jnp.sum(
@@ -668,6 +675,7 @@ class PallasDecodeScan:
             bfac_s[sl, :] = bf_ac
             bfpa_s[sl, :] = bf_pa
             bfsq_s[sl, :] = bf_sq
+            bfsr_s[sl, :] = bf_sr
             return 0
 
         jax.lax.fori_loop(0, NG, group, 0)
@@ -676,7 +684,7 @@ class PallasDecodeScan:
 
         # ---- apply landed winners (full-B) ---------------------------------
         got = got_s[...] > 0.5
-        land = [land_s[c] for c in range(14)]
+        land = [land_s[c] for c in range(15)]
         cout["arc"][...] = jnp.where(got, land[0], arcc_s[...])
         cout["hmm"][...] = jnp.where(
             got, land[8], jnp.where(live, hmm, float(H))
@@ -711,6 +719,12 @@ class PallasDecodeScan:
         outs["rec_score"][...] = jnp.where(rec_valid, land[1], NEG)[None]
         outs["rec_ac"][...] = jnp.where(rec_valid, land[2], NEG)[None]
         outs["rec_lm"][...] = jnp.where(rec_valid, land[3], NEG)[None]
+        outs["rec_src"][...] = jnp.where(
+            rec_valid, land[14], -1.0
+        ).astype(jnp.int32)[None]
+        outs["rec_arc"][...] = jnp.where(
+            rec_valid, land[0], -1.0
+        ).astype(jnp.int32)[None]
         # per-utterance frame outputs are (C, 1, B): Mosaic requires the
         # block's second-to-last dim to divide 8 or equal the array's, so a
         # singleton sublane dim stands between the frame and lane axes
@@ -723,6 +737,7 @@ class PallasDecodeScan:
         ).reshape(1, 1, B)
         outs["bf_path"][...] = bfpa_s[...].astype(jnp.int32).reshape(1, 1, B)
         outs["bf_seq"][...] = bfsq_s[...].astype(jnp.int32).reshape(1, 1, B)
+        outs["bf_src"][...] = bfsr_s[...].astype(jnp.int32).reshape(1, 1, B)
         outs["n_active"][...] = jnp.sum(
             (live | got).astype(jnp.int32), axis=1
         ).reshape(1, 1, B)
@@ -748,9 +763,11 @@ class PallasDecodeScan:
                jax.ShapeDtypeStruct((C, B, K), i32),
                jax.ShapeDtypeStruct((C, B, K), f32),
                jax.ShapeDtypeStruct((C, B, K), f32),
-               jax.ShapeDtypeStruct((C, B, K), f32)]
+               jax.ShapeDtypeStruct((C, B, K), f32),
+               jax.ShapeDtypeStruct((C, B, K), i32),
+               jax.ShapeDtypeStruct((C, B, K), i32)]
             + [jax.ShapeDtypeStruct((C, 1, B), f32)] * 3
-            + [jax.ShapeDtypeStruct((C, 1, B), i32)] * 2
+            + [jax.ShapeDtypeStruct((C, 1, B), i32)] * 3
             + [jax.ShapeDtypeStruct((C, 1, B), i32)] * 2
         )
 
@@ -769,8 +786,8 @@ class PallasDecodeScan:
 
         out_specs = (
             [const_spec(self.init[k].shape) for k in self._carry_keys]
-            + [pl.BlockSpec((1, B, K), lambda t: (t, 0, 0))] * 5
-            + [pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0))] * 7
+            + [pl.BlockSpec((1, B, K), lambda t: (t, 0, 0))] * 7
+            + [pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0))] * 8
         )
 
         scratch = [
@@ -783,10 +800,10 @@ class PallasDecodeScan:
             pltpu.VMEM((B, K), f32),       # arc_cur
             pltpu.VMEM((B, K), f32),       # final fan
             pltpu.VMEM((B, K), f32),       # final offs
-            pltpu.VMEM((14, B, K), f32),   # landed payload columns
+            pltpu.VMEM((15, B, K), f32),   # landed payload columns
             pltpu.VMEM((B, K), f32),       # got
-        ] + [pltpu.VMEM((B, 1), f32)] * 9  # per-utterance scalars: total,
-        #   n_live, ftotal, best_entry, ovf, bf score/ac/path/seq
+        ] + [pltpu.VMEM((B, 1), f32)] * 10  # per-utterance scalars: total,
+        #   n_live, ftotal, best_entry, ovf, bf score/ac/path/seq/src
 
         call = pl.pallas_call(
             self._kernel,
@@ -876,12 +893,13 @@ def assemble_results(dec: TpuDecoder, ps: PallasDecodeScan, carry, ys,
             "lm": rec["bf_lm"][L - 1, i],
             "path": rec["bf_path"][L - 1, i],
             "seq": rec["bf_seq"][L - 1, i],
+            "src": rec["bf_src"][L - 1, i],
         }
         carry_i = {"best_final": bf, "overflow": ovf[i]}
         ys_i = {
             k: rec[k][:, i]
             for k in ["rec_prev", "rec_seq", "rec_score", "rec_ac", "rec_lm",
-                      "n_active", "n_cand"]
+                      "rec_src", "rec_arc", "n_active", "n_cand"]
         }
         results.append(dec._traceback(carry_i, ys_i, ps.rec0, L))
     return results

@@ -136,13 +136,23 @@ class TpuDecoder:
             return max(m, ((int(x) + m - 1) // m) * m)
 
         # budgets never need to exceed the network itself: at most n_hmm_arcs
-        # insts can be live, and one frame can expand at most every closure
-        # entry once
+        # insts can be live (x |G| in OTF mode, where slots are (arc, g)
+        # pairs), and one frame can expand at most every closure entry once
+        # — except in OTF, where the SAME arc can exit from several G
+        # states in one frame, so the bound is K x max fanout instead
         n_entries = len(artifact.expansion.arc)
         n_fentries = len(artifact.expansion.f_score)
-        self.K = min(cfg.max_insts, _rup(artifact.n_hmm_arcs + 1))
-        self.E = min(cfg.expand_budget, _rup(n_entries + 1))
-        self.F = min(cfg.final_budget, _rup(n_fentries + 1))
+        if self.otf:
+            k_cap = _rup(artifact.n_hmm_arcs * max(g_network.n_states, 1) + 1)
+            self.K = min(cfg.max_insts, k_cap)
+            fan = np.diff(artifact.expansion.row_ptr).max(initial=0)
+            ffan = np.diff(artifact.expansion.frow_ptr).max(initial=0)
+            self.E = min(cfg.expand_budget, _rup(self.K * max(fan, 1) + 1))
+            self.F = min(cfg.final_budget, _rup(self.K * max(ffan, 1) + 1))
+        else:
+            self.K = min(cfg.max_insts, _rup(artifact.n_hmm_arcs + 1))
+            self.E = min(cfg.expand_budget, _rup(n_entries + 1))
+            self.F = min(cfg.final_budget, _rup(n_fentries + 1))
         self.S = artifact.S
         self.n_arcs = artifact.n_hmm_arcs
         self.H = artifact.trP.shape[0]
@@ -218,19 +228,31 @@ class TpuDecoder:
             for i, s in enumerate(artifact.seqs):
                 seq_words[i, : len(s)] = s
             self.nG = g.n_states
+            # ONE packed row per G state: [il(R) | dst(R) | w(R) | bo_dst |
+            # bo_w | dense_idx]. The per-level advance then costs a single
+            # (N, 3R+3) packed row-gather instead of five separate gathers
+            # (pad_il/pad_dst/pad_w/bo_dst/bo_w/dense_idx) — ids are exact
+            # in f32 below 2^24, which the packed tables already require.
+            R = g.pad_R
+            row_pack = np.concatenate(
+                [
+                    g.pad_il.astype(np.float64),
+                    g.pad_dst.astype(np.float64),
+                    g.pad_w,
+                    g.bo_dst.astype(np.float64)[:, None],
+                    g.bo_w[:, None],
+                    g.dense_idx.astype(np.float64)[:, None],
+                ],
+                axis=1,
+            )
             self.dev.update(
                 {
                     "seq_words": jnp.asarray(seq_words),
-                    "g_pad_il": jnp.asarray(g.pad_il),  # (nG, R)
-                    "g_pad_dst": jnp.asarray(g.pad_dst),
-                    "g_pad_w": jnp.asarray(g.pad_w, dtype=dt),
-                    "g_dense_idx": jnp.asarray(g.dense_idx),
+                    "g_row_pack": jnp.asarray(row_pack, dtype=dt),
                     "g_dense_dst_flat": jnp.asarray(g.dense_dst.reshape(-1)),
                     "g_dense_w_flat": jnp.asarray(
                         g.dense_w.reshape(-1), dtype=dt
                     ),
-                    "g_bo_dst": jnp.asarray(g.bo_dst),
-                    "g_bo_w": jnp.asarray(g.bo_w, dtype=dt),
                     "g_freach": jnp.asarray(g.final_reach, dtype=dt),
                 }
             )
@@ -298,24 +320,24 @@ class TpuDecoder:
         dev = self.dev
         dt = self._dt
         N = g.shape[0]
+        R = self._g_R
         gw = jnp.zeros((N,), dt)
         ok = jnp.ones((N,), bool)
         done = ~words_valid  # nothing to consume
         cur = jnp.maximum(g, 0)
         in_range = word < self._g_W
+        wf = word.astype(dt)
         for _ in range(self._g_maxbo + 1):
-            rows_il = dev["g_pad_il"][cur]  # (N, R) packed row gather
-            m = rows_il == word[:, None]
+            rows = dev["g_row_pack"][cur]  # (N, 3R+3): the ONE row gather
+            m = rows[:, :R] == wf[:, None]
             # duplicate (state, il) guard: keep the first match only (the
             # host binary search would find the first too)
             m &= jnp.cumsum(m.astype(jnp.int32), axis=1) <= 1
             hit_sp = jnp.any(m, axis=1)
             mf = m.astype(dt)
-            dst_sp = jnp.sum(
-                mf * dev["g_pad_dst"][cur], axis=1
-            ).astype(jnp.int32)
-            w_sp = jnp.sum(mf * dev["g_pad_w"][cur], axis=1)
-            di = dev["g_dense_idx"][cur]  # (N,)
+            dst_sp = jnp.sum(mf * rows[:, R : 2 * R], axis=1).astype(jnp.int32)
+            w_sp = jnp.sum(mf * rows[:, 2 * R : 3 * R], axis=1)
+            di = rows[:, 3 * R + 2].astype(jnp.int32)
             use_d = di >= 0
             flat = jnp.clip(di, 0) * self._g_W + jnp.clip(word, 0, self._g_W - 1)
             dst_d = dev["g_dense_dst_flat"][flat]
@@ -325,10 +347,11 @@ class TpuDecoder:
             cur = jnp.where(hit, jnp.where(use_d, dst_d, dst_sp), cur)
             gw = jnp.where(hit, gw + jnp.where(use_d, w_d, w_sp), gw)
             done = done | hit
-            # else: back off if possible
-            bo = dev["g_bo_dst"][cur]
+            # else: back off if possible — lanes that just hit are done, so
+            # the backoff fields of the PRE-move row are the right ones
+            bo = rows[:, 3 * R].astype(jnp.int32)
             can_bo = ~done & (bo >= 0)
-            gw = jnp.where(can_bo, gw + dev["g_bo_w"][cur], gw)
+            gw = jnp.where(can_bo, gw + rows[:, 3 * R + 1], gw)
             dead = ~done & ~can_bo
             ok = ok & ~dead
             done = done | dead

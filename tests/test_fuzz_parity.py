@@ -263,7 +263,9 @@ def test_fuzz_otf(net_seed):
     g_net = random_g(rng)
     ref = RefOtfDecoder(net, g_net, models)
     art = DecoderArtifact(net, models)
-    base = dict(max_insts=256, expand_budget=2048, final_budget=256,
+    # budgets with real headroom: a clean suite run must not emit the
+    # budget-overflow warning (round-3 review item #8)
+    base = dict(max_insts=1024, expand_budget=8192, final_budget=1024,
                 dtype="float64")
     decs = [TpuDecoder(art, TpuDecoderConfig(**base), g_network=g_net)]
     if net_seed % 2:
