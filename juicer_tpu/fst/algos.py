@@ -532,30 +532,42 @@ def push_weights(
     — we fall back to tropical potentials).
     """
     sr = semiring or f.semiring
+    # the log Jacobi sweep has a geometric convergence tail on cyclic
+    # machines; at WSJ-scale CLGs waiting out 10k sweeps costs many
+    # minutes, so cap the attempt and fall back to tropical potentials
+    # (any finite potential preserves path weights)
+    log_sweeps = 400 if f.num_arcs > 500_000 else 10000
     try:
-        d = shortest_distance(f, reverse=True, semiring=sr, delta=delta)
+        d = shortest_distance(f, reverse=True, semiring=sr, delta=delta,
+                              max_sweeps=log_sweeps if sr.name == "log"
+                              else 10000)
     except RuntimeError:
         if not (fallback_tropical and sr.name == "log"):
             raise
         sr = TROPICAL
         d = shortest_distance(f, reverse=True, semiring=sr, delta=delta)
+    import numpy as np
+
     g = f.copy()
-    for i in range(g.num_arcs):
-        s, t = g.arc_src[i], g.arc_dst[i]
-        if d[s] == INF or d[t] == INF:
-            continue
-        g.arc_weight[i] = sr.divide(sr.times(g.arc_weight[i], d[t]), d[s])
-    for s in list(g.finals):
-        if d[s] != INF:
-            g.finals[s] = sr.divide(g.finals[s], d[s])
+    dv = np.asarray(d, dtype=np.float64)
+    src = np.asarray(g.arc_src, dtype=np.int64)
+    dst = np.asarray(g.arc_dst, dtype=np.int64)
+    w = np.asarray(g.arc_weight, dtype=np.float64)
+    fin_s = dv[src] != INF
+    fin_t = dv[dst] != INF
+    # times/divide are +/- in both semirings
+    both = fin_s & fin_t
+    w = np.where(both, w + dv[dst] - dv[src], w)
     # restore total weight at the start
-    if g.start >= 0 and d[g.start] != INF:
-        tot = d[g.start]
-        for i in range(g.num_arcs):
-            if g.arc_src[i] == g.start:
-                g.arc_weight[i] = sr.times(g.arc_weight[i], tot)
+    if g.start >= 0 and dv[g.start] != INF:
+        tot = dv[g.start]
+        w = np.where(src == g.start, w + tot, w)
         if g.start in g.finals:
             g.finals[g.start] = sr.times(g.finals[g.start], tot)
+    g.arc_weight = w.tolist()
+    for s in list(g.finals):
+        if dv[s] != INF:
+            g.finals[s] = sr.divide(g.finals[s], float(dv[s]))
     return g
 
 
@@ -942,7 +954,71 @@ def _minimize_refine_np(f: Fst, arc_code, block):
         _, new_blk = np.unique(sig, axis=0, return_inverse=True)
         new_n = int(new_blk.max(initial=-1)) + 1
         if new_n == nblocks:
-            break
+            # Exact-signature verification (one vectorized pass): the
+            # refinement above replaces arc multisets with two modular
+            # polynomial hashes; a collision would silently merge
+            # inequivalent states. Check that all states in a block have
+            # identical SORTED (code, qweight, dst-block) arc sequences;
+            # on mismatch, split at the first differing rank and keep
+            # refining (astronomically rare, but now impossible to miss).
+            deg = np.bincount(src, minlength=n)
+            bad = False
+            # degree must be constant per block
+            for arr in (deg,):
+                o = np.argsort(blk, kind="stable")
+                b_sorted = blk[o]
+                v = arr[o]
+                nb = np.empty(len(o), bool)
+                nb[0] = False
+                nb[1:] = b_sorted[1:] == b_sorted[:-1]
+                if np.any(nb & (v != np.concatenate([[0], v[:-1]]))):
+                    bad = True
+            if not bad and len(src):
+                db = blk[dst]
+                order = np.lexsort((db, qw, code, src))
+                so = src[order]
+                boundaries = np.empty(len(so), bool)
+                boundaries[0] = True
+                boundaries[1:] = so[1:] != so[:-1]
+                seg_start = np.maximum.accumulate(
+                    np.where(boundaries, np.arange(len(so)), 0)
+                )
+                rank = np.arange(len(so)) - seg_start
+                key_rows = np.stack(
+                    [blk[so], rank, code[order], qw[order], db[order]], axis=1
+                )
+                o2 = np.lexsort(key_rows[:, ::-1].T)
+                kr = key_rows[o2]
+                same_group = np.all(kr[1:, :2] == kr[:-1, :2], axis=1)
+                mismatch = same_group & np.any(
+                    kr[1:, 2:] != kr[:-1, 2:], axis=1
+                )
+                if np.any(mismatch):
+                    bad = True
+                    # split by the full triple at the first bad rank
+                    i = int(np.nonzero(mismatch)[0][0])
+                    bad_blk, bad_rank = int(kr[i, 0]), int(kr[i, 1])
+                    sel = (blk[so] == bad_blk) & (rank == bad_rank)
+                    split_key = np.zeros(n, np.int64)
+                    split_key[so[sel]] = (
+                        (code[order][sel] * 1315423911 + qw[order][sel]) * 31
+                        + db[order][sel]
+                    )
+                    sig2 = np.stack([blk, split_key], axis=1)
+                    _, new_blk = np.unique(sig2, axis=0, return_inverse=True)
+                    nblocks = int(new_blk.max(initial=-1)) + 1
+                    blk = new_blk.astype(np.int64)
+                    continue
+            if not bad:
+                break
+            # degree anomaly: fall back to splitting on degree
+            sig2 = np.stack([blk, deg], axis=1)
+            _, new_blk = np.unique(sig2, axis=0, return_inverse=True)
+            if int(new_blk.max(initial=-1)) + 1 == nblocks:
+                break
+            nblocks = int(new_blk.max(initial=-1)) + 1
+            blk = new_blk.astype(np.int64)
+            continue
         nblocks = new_n
         blk = new_blk.astype(np.int64)
     return {s: int(blk[s]) for s in range(n)}
