@@ -5,9 +5,9 @@ Rebuild of the reference's HTKLib-backed speaker adaptation
 -inputXformDir/-inputXformExt/-speakerNamePattern,
 `juicer.cpp:200-216,676-760`): per-speaker feature-space transforms
 x' = A x + b loaded from HTK transform files and applied to the feature
-stream before scoring. (Model-space MLLR mean transforms — the
-parent-xform path — are not implemented; CMLLR input transforms are the
-equivalent-coverage mechanism for a shared model set.)
+stream before scoring. Model-space MLLRMEAN transforms with regression-
+class trees live in `am/regtree.py`; parent input-transform cascades are
+supported here via the `parent` chain (x -> parent(x) -> child(...)).
 
 The parser accepts the HTK ascii transform-set layout: <BIAS> vectors and
 block-diagonal <XFORM>/<BLOCK> matrices inside a <LINXFORM>; everything

@@ -101,13 +101,14 @@ def make_parser():
 
     # reference flags accepted for drop-in compatibility (`juicer.cpp:169-294`)
     p.add_argument("-silMonophone", default="",
-                   help="name of the silence monophone (feeds phone lookup / "
-                        "model-level output only; the word-end pruning "
-                        "markers are the literal 'sil'/'sp' strings, as in "
+                   help="name of the silence monophone; validated against "
+                        "-monoListFName like the reference's "
+                        "MonophoneLookup (the word-end pruning markers are "
+                        "the literal 'sil'/'sp' strings, as in "
                         "WFSTNetwork.cpp:605-616)")
     p.add_argument("-pauseMonophone", default="",
-                   help="name of the short-pause monophone (phone lookup / "
-                        "model-level output only)")
+                   help="name of the short-pause monophone; validated "
+                        "against -monoListFName")
     p.add_argument("-basicCore", action="store_true",
                    help="accepted; one engine covers the basic core's "
                         "lattice/model-level features (-latticeDir, "
@@ -434,6 +435,18 @@ def main(argv=None):
 
     if args.modelLevelOutput and args.refCore:
         raise SystemExit("juicer: -modelLevelOutput requires the TPU core")
+    # -silMonophone/-pauseMonophone validation: the reference's
+    # MonophoneLookup errors when the named monophones are missing from
+    # the -monoListFName list (`MonophoneLookup.cpp:83-94`)
+    if (args.silMonophone or args.pauseMonophone) and args.monoListFName:
+        with open(args.monoListFName) as _fd:
+            _monos = {line.split()[0] for line in _fd if line.split()}
+        for _flag, _name in (("-silMonophone", args.silMonophone),
+                             ("-pauseMonophone", args.pauseMonophone)):
+            if _name and _name not in _monos:
+                raise SystemExit(
+                    f"juicer: {_flag} {_name!r} not in monophone list "
+                    f"{args.monoListFName}")
     out_names = vocab.words
     if args.modelLevelOutput:
         out_names = list(models.hmm_names)

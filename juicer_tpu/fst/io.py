@@ -140,16 +140,27 @@ def read_symbols(path_or_file: Union[str, TextIO]) -> SymbolTable:
             if len(parts) != 2:
                 continue
             sym, idx = parts[0], int(parts[1])
-            # first binding wins: lexgen output-symbol files end with the
-            # reference's unconditional "#sil 0 / #sp 1" trailer
-            # (`WFSTLexGen.cpp:566`), which collides with <eps>/word ids.
-            # The reference never reloads these files (its pipeline
-            # rewrites symbols through external FST tools), so tolerate
-            # and ignore re-bound ids here.
-            if t.find(sym) == idx or (
-                0 <= idx < len(t) and t[idx] is not None
-            ):
-                continue
+            # Exact duplicate bindings are tolerated silently. The only
+            # tolerated CONFLICT is the reference's unconditional
+            # "#sil 0 / #sp 1" trailer in lexgen output-symbol files
+            # (`WFSTLexGen.cpp:566`), which collides with <eps>/word ids;
+            # the reference never reloads these files, so ignore that
+            # trailer but surface any other inconsistent binding instead
+            # of silently accepting a corrupt symbol file.
+            if t.find(sym) == idx:
+                continue  # exact duplicate
+            if 0 <= idx < len(t) and t[idx] is not None:
+                if sym in ("#sil", "#sp"):
+                    continue  # the known lexgen trailer
+                raise ValueError(
+                    f"symbol file conflict: {sym!r} -> {idx} but id {idx} "
+                    f"is already {t[idx]!r}"
+                )
+            if t.find(sym) >= 0:
+                raise ValueError(
+                    f"symbol file conflict: {sym!r} bound to both "
+                    f"{t.find(sym)} and {idx}"
+                )
             t.add_with_index(sym, idx)
         return t
     finally:
