@@ -1,0 +1,442 @@
+"""Reference-scale END-TO-END operating point (the round-4 headline).
+
+Unlike scripts/scale_bench.py (random topology, random scores, budgets
+always binding), this builds a COMPLETE WSJ-order recognition task
+through the framework's own offline pipeline and decodes synthesized
+utterances whose scores actually prune:
+
+  1. synthetic 20k-word task at reference statistics (BASELINE.md: the
+     WSJ 20k machine is 1.32M states / 5.41M arcs from an 18k-word
+     bigram with 1.34M bigrams): random lexicon, synthetic bigram ARPA,
+     GramGen/LexGen/CDGen + build_clg (native determinize);
+  2. generative GMM models confusable enough to give WSJ-like active
+     set profiles; utterances sampled from the bigram + the models;
+  3. `autotune_budgets` certifies minimal (K, E) with margin on sample
+     utterances — no overflow, verified 1-best;
+  4. steady-state batch decode on the real chip -> frames/s/chip + xRT;
+  5. exact 1-best parity vs the f64 oracle (RefDecoder) on short
+     utterances, and word accuracy vs the generating transcript.
+
+Usage:
+  python scripts/wsj_bench.py [--quick] [--build-only] [--batch B]
+      [--words N] [--bigrams M] [--beam W] [--end-beam W] [--maxhyps N]
+      [--cache DIR] [--no-parity]
+
+The task build is cached under scripts/_wsj_cache (CLG npz + models npz
++ bigram tables); delete the dir to rebuild.
+"""
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LN10 = math.log(10.0)
+
+
+def log10(p):
+    return math.log10(max(p, 1e-30))
+
+
+def gen_task_files(cache, n_words, n_bigrams, n_phones, seed):
+    """Write lexicon/phones/ARPA files + bigram successor tables."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(cache, exist_ok=True)
+    phones = [f"p{i:02d}" for i in range(n_phones)]
+    with open(os.path.join(cache, "phones.lst"), "w") as fd:
+        for p in phones:
+            fd.write(p + "\n")
+        fd.write("sil\nsp\n")
+
+    # pronunciations: English-like length profile AND English-like prefix
+    # sharing — phones drawn from a Zipf distribution (a handful of
+    # frequent phones start most words, so the det(L.G) lexicon tries
+    # compress like a real dictionary; uniform-random phones share no
+    # prefixes and blow det(L.G) up ~8x past reference statistics)
+    phone_p = 1.0 / (np.arange(1, n_phones + 1) ** 1.1)
+    phone_p /= phone_p.sum()
+    seen = set()
+    prons = []
+    while len(prons) < n_words:
+        n = int(np.clip(rng.normal(6.0, 2.0), 2, 11))
+        t = tuple(rng.choice(n_phones, size=n, p=phone_p).tolist())
+        if t in seen:
+            continue
+        seen.add(t)
+        prons.append(t)
+    with open(os.path.join(cache, "lex.dict"), "w") as fd:
+        for wi, pron in enumerate(prons):
+            fd.write(f"w{wi} " + " ".join(phones[p] for p in pron) + "\n")
+        fd.write("<s> sil\n</s> sil\n")
+
+    # synthetic bigram LM: Zipf unigrams, per-word successor sets sized so
+    # the total matches n_bigrams
+    uni = 1.0 / (np.arange(1, n_words + 1) ** 0.9)
+    uni /= uni.sum()
+    order = rng.permutation(n_words)
+    uni = uni[np.argsort(order)]  # random assignment of ranks to ids
+    avg_succ = max(2, n_bigrams // (n_words + 1))
+    succ_ids = {}
+    succ_logp = {}
+    total_bi = 0
+    names = [f"w{i}" for i in range(n_words)] + ["<s>", "</s>"]
+    SB, SE = n_words, n_words + 1  # <s>, </s> pseudo-ids
+
+    def draw_successors(k):
+        # favor frequent words as successors (Zipf-weighted sample)
+        ids = rng.choice(n_words, size=min(k, n_words), replace=False, p=uni)
+        return np.sort(ids)
+
+    for w in list(range(n_words)) + [SB]:
+        k = int(np.clip(rng.lognormal(math.log(avg_succ), 0.6), 2, n_words))
+        ids = draw_successors(k)
+        p = rng.dirichlet(np.ones(len(ids)) * 0.5) * 0.9
+        # every word can end the sentence with the leftover mass
+        succ_ids[w] = np.concatenate([ids, [SE]])
+        succ_logp[w] = np.log10(np.concatenate([p, [0.1]]))
+        total_bi += len(ids) + 1
+
+    with open(os.path.join(cache, "lm.arpa"), "w") as fd:
+        fd.write(f"\\data\\\nngram 1={n_words + 2}\nngram 2={total_bi}\n\n")
+        fd.write("\\1-grams:\n")
+        fd.write("-99 <s> -0.5\n")
+        fd.write(f"{log10(0.02):.4f} </s>\n")
+        for w in range(n_words):
+            fd.write(f"{log10(uni[w] * 0.98):.4f} w{w} -0.5\n")
+        fd.write("\n\\2-grams:\n")
+        for w in list(range(n_words)) + [SB]:
+            wn = names[w]
+            for i, s in enumerate(succ_ids[w]):
+                fd.write(f"{succ_logp[w][i]:.4f} {wn} {names[s]}\n")
+        fd.write("\n\\end\\\n")
+
+    np.savez_compressed(
+        os.path.join(cache, "bigram.npz"),
+        **{f"ids_{w}": succ_ids[w] for w in succ_ids},
+        **{f"logp_{w}": succ_logp[w] for w in succ_logp},
+    )
+    return phones
+
+
+def build_models(cache, phones, n_emit, n_comps, vec_size, center_scale, seed):
+    from juicer_tpu.am import AcousticModelSet
+    from juicer_tpu.am.mmf import MmfDef, MmfHmm, MmfMixture, MmfState, MmfTransMat
+
+    rng = np.random.default_rng(seed + 1)
+    d = MmfDef()
+    d.global_opts.vec_size = vec_size
+    n = n_emit + 2
+    for name in phones + ["sil", "sp"]:
+        probs = np.zeros((n, n))
+        probs[0, 1] = 1.0
+        if name == "sp":
+            probs[0, 1] = 0.3
+            probs[0, n - 1] = 0.7  # tee
+        for i in range(1, n - 1):
+            probs[i, i] = 0.6
+            probs[i, i + 1] = 0.4
+        center = rng.normal(scale=center_scale, size=vec_size)
+        states = [
+            MmfState(mixtures=[
+                MmfMixture(1.0 / n_comps,
+                           center + rng.normal(scale=1.0, size=vec_size),
+                           np.abs(rng.normal(size=vec_size)) * 0.5 + 0.8)
+                for _ in range(n_comps)])
+            for _ in range(n_emit)
+        ]
+        d.hmms.append(MmfHmm(name, n, states, MmfTransMat(None, n, probs)))
+    ms = AcousticModelSet.from_def(d)
+    ms.save_npz(os.path.join(cache, "models.npz"))
+    return ms
+
+
+def ensure_task(cache, n_words, n_bigrams, n_phones=45, n_emit=3, n_comps=8,
+                vec_size=39, center_scale=1.2, seed=7):
+    """Build (or load) the cached task: CLG network + models + bigrams."""
+    from juicer_tpu.am import AcousticModelSet
+    from juicer_tpu.compile import (CDGen, CDPhoneLookup, CDType, GramGen,
+                                    GramType, LexGen, build_clg)
+    from juicer_tpu.decoder.network import DecoderNetwork
+    from juicer_tpu.lexicon import Lexicon
+
+    net_npz = os.path.join(cache, "clg.npz")
+    if os.path.exists(net_npz):
+        print(f"[task] loading cached network {net_npz}", flush=True)
+        net = DecoderNetwork.load_npz(net_npz)
+        models = AcousticModelSet.load_npz(os.path.join(cache, "models.npz"))
+        return net, models
+
+    t0 = time.time()
+    phones = gen_task_files(cache, n_words, n_bigrams, n_phones, seed)
+    print(f"[task] files written ({time.time()-t0:.1f}s)", flush=True)
+
+    lexicon = Lexicon.load(
+        os.path.join(cache, "phones.lst"), os.path.join(cache, "lex.dict"),
+        sil_phone="sil", pause_phone="sp",
+        sent_start_word="<s>", sent_end_word="</s>", spec_word_char="",
+    )
+    t0 = time.time()
+    G = GramGen(lexicon.vocab, GramType.NGRAM,
+                lm_fname=os.path.join(cache, "lm.arpa")).build()
+    print(f"[task] G: {G.num_states} states {G.num_arcs} arcs "
+          f"({time.time()-t0:.1f}s)", flush=True)
+    t0 = time.time()
+    lexgen = LexGen(lexicon)
+    L = lexgen.build(output_aux_phones=True)
+    all_phones = phones + ["sil", "sp"]
+    lookup = CDPhoneLookup(lexicon.phone_set)
+    lookup.add_phones(all_phones)
+    lookup.bind_models(all_phones)
+    C = CDGen(CDType.MONOPHONE, lookup, all_phones,
+              n_aux_syms=lexgen.n_aux).build()
+    print(f"[task] L: {L.num_arcs} arcs, C: {C.num_arcs} arcs "
+          f"({time.time()-t0:.1f}s)", flush=True)
+
+    t0 = time.time()
+    clg = build_clg(G, L, C, verbose=True).clg
+    print(f"[task] CLG: {clg.num_states} states {clg.num_arcs} arcs "
+          f"({time.time()-t0:.1f}s)", flush=True)
+
+    net = DecoderNetwork(clg, clg.isyms, clg.osyms)
+    net.save_npz(net_npz)
+    models = build_models(cache, phones, n_emit, n_comps, vec_size,
+                          center_scale, seed)
+    return net, models
+
+
+def sample_utterances(cache, models, lexicon_files, n_utts, target_frames,
+                      seed, frames_per_state=3):
+    """Random-walk the bigram, synthesize features from the models."""
+    rng = np.random.default_rng(seed)
+    bz = np.load(os.path.join(cache, "bigram.npz"))
+    # lexicon: word -> phone ids
+    phones_path, lex_path = lexicon_files
+    phone_index = {}
+    with open(phones_path) as fd:
+        for i, line in enumerate(fd):
+            phone_index[line.strip()] = i
+    prons = {}
+    with open(lex_path) as fd:
+        for line in fd:
+            parts = line.split()
+            prons[parts[0]] = [phone_index[p] for p in parts[1:]]
+    hmm_of_phone = {p: models.get_hmm_index(name)
+                    for name, p in phone_index.items()}
+
+    n_words_total = len(prons) - 2
+    SB, SE = n_words_total, n_words_total + 1
+    utts = []
+    for _ in range(n_utts):
+        words = []
+        w = SB
+        frames_est = 0
+        while True:
+            ids = bz[f"ids_{w}"]
+            logp = bz[f"logp_{w}"]
+            p = 10.0 ** logp
+            p /= p.sum()
+            w = int(rng.choice(ids, p=p))
+            if w == SE:
+                if frames_est >= target_frames * 0.6:
+                    break
+                w = SB  # restart sentence: keep going until long enough
+                continue
+            words.append(w)
+            frames_est += (
+                len(prons[f"w{w}"]) * (models.get_num_states(0) - 2)
+                * frames_per_state
+            )
+            if frames_est >= target_frames:
+                break
+        # features: sil + words + sil
+        frames = []
+        phone_seq = prons["<s>"] + sum((prons[f"w{w}"] for w in words), []) \
+            + prons["</s>"]
+        for p in phone_seq:
+            h = hmm_of_phone[p]
+            n = models.get_num_states(h)
+            for j in range(1, n - 1):
+                g = int(models.hmm_gmm_inds[h][j - 1])
+                c = rng.integers(len(models.gmm_means[g]))
+                mu = models.gmm_means[g][c]
+                sd = np.sqrt(models.gmm_vars[g][c])
+                for _ in range(max(1, frames_per_state + int(rng.integers(-1, 2)))):
+                    frames.append(mu + rng.normal(size=len(mu)) * sd)
+        utts.append((words, np.asarray(frames, dtype=np.float32)))
+    return utts
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small-scale validation run (2k words)")
+    ap.add_argument("--build-only", action="store_true")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--words", type=int, default=20000)
+    ap.add_argument("--bigrams", type=int, default=1_500_000)
+    ap.add_argument("--beam", type=float, default=160.0)
+    ap.add_argument("--end-beam", type=float, default=120.0)
+    ap.add_argument("--maxhyps", type=int, default=8000)
+    ap.add_argument("--frames", type=int, default=1000)
+    ap.add_argument("--cache", type=str, default=None)
+    ap.add_argument("--no-parity", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.quick:
+        args.words, args.bigrams = 2000, 100_000
+        args.frames = min(args.frames, 300)
+        args.batch = min(args.batch, 4)
+    cache = args.cache or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"_wsj_cache_{args.words // 1000}k")
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from juicer_tpu.decoder.autotune import autotune_budgets
+    from juicer_tpu.decoder.artifact import DecoderArtifact
+    from juicer_tpu.decoder.tpu_core import TpuDecoder, TpuDecoderConfig
+    from juicer_tpu.decoder.ref_core import RefDecoder
+    from juicer_tpu.ops.gmm import make_gmm_scorer
+
+    net, models = ensure_task(cache, args.words, args.bigrams)
+    print(f"[net] {net.n_states} states, {net.n_arcs} arcs; "
+          f"{models.n_hmms} hmms / {models.n_gmms} gmms", flush=True)
+    if args.build_only:
+        return
+
+    t0 = time.time()
+    art = DecoderArtifact(net, models)
+    print(f"[artifact] {art} ({time.time()-t0:.1f}s)", flush=True)
+
+    # utterances
+    utts = sample_utterances(
+        cache, models,
+        (os.path.join(cache, "phones.lst"), os.path.join(cache, "lex.dict")),
+        n_utts=args.batch + 2, target_frames=args.frames, seed=11)
+    scorer = make_gmm_scorer(models.flat_params())
+    scores = [np.asarray(scorer(jnp.asarray(f))) for _, f in utts]
+    print(f"[utts] {len(utts)} utterances, T="
+          f"{[s.shape[0] for s in scores]}", flush=True)
+
+    base = TpuDecoderConfig(
+        emit_prune_win=args.beam, phone_end_prune_win=args.end_beam,
+        word_prune_win=args.end_beam, max_emit_hyps=args.maxhyps,
+        max_insts=2048, expand_budget=4096, final_budget=1024,
+    )
+    t0 = time.time()
+    tuned = autotune_budgets(art, scores[:2], base, margin=1.4)
+    print(f"[autotune] K={tuned.max_insts} E={tuned.expand_budget} "
+          f"({time.time()-t0:.1f}s)", flush=True)
+
+    # observability + accuracy over the batch. Output labels are
+    # vocab-index+1 and the vocab is SORTED, so map ground-truth word ids
+    # through the vocab; sentence markers are stripped like -rms
+    import dataclasses
+
+    from juicer_tpu.harness.editdist import EditDistance
+    from juicer_tpu.lexicon import Lexicon
+
+    lexicon = Lexicon.load(
+        os.path.join(cache, "phones.lst"), os.path.join(cache, "lex.dict"),
+        sil_phone="sil", pause_phone="sp",
+        sent_start_word="<s>", sent_end_word="</s>", spec_word_char="",
+    )
+    vocab = lexicon.vocab
+    marker_labels = {vocab.sent_start_index + 1, vocab.sent_end_index + 1}
+    label_of = {w: vocab.get_index(f"w{w}") + 1 for w in range(args.words)}
+
+    dec = TpuDecoder(art, dataclasses.replace(tuned, emit_diagnostics=True))
+    ed = EditDistance()
+    results = []
+    for (words, _), sc in zip(utts[: args.batch], scores[: args.batch]):
+        r = dec.decode_scores(sc)
+        results.append(r)
+        hyp = [w for w in r.words if w not in marker_labels]
+        ref = [label_of[w] for w in words]
+        ed.distance(hyp, ref)
+    acc = ed.accuracy
+    avg_act = np.mean([r.avg_active for r in results])
+    max_act = max(r.max_active for r in results)
+    summ = ed.summary().replace(chr(10), "; ")
+    print(f"[accuracy] {summ}; "
+          f"avg active {avg_act:.0f}, peak {max_act}, overflow "
+          f"{sum(r.overflow for r in results)}/{len(results)}", flush=True)
+
+    # steady-state batched throughput (pad to common length)
+    B = args.batch
+    Tmax = max(s.shape[0] for s in scores[:B])
+    batch_sc = np.stack([
+        np.pad(s, ((0, Tmax - s.shape[0]), (0, 0)), mode="edge")
+        for s in scores[:B]
+    ])
+    fast = TpuDecoder(art, dataclasses.replace(tuned, emit_diagnostics=False))
+
+    def one(s):
+        carry, ys, rec0 = fast._decode_scan(s.astype(fast._dt))
+        return carry["best_final"]["score"], carry["overflow"]
+
+    f = jax.jit(jax.vmap(one))
+    db = jnp.asarray(batch_sc, jnp.float32)
+    t0 = time.time()
+    sc_out, ov = f(db)
+    sc_out.block_until_ready()
+    print(f"[bench] compile+run {time.time()-t0:.1f}s "
+          f"(overflow {int(np.sum(np.asarray(ov)))}/{B})", flush=True)
+    t0 = time.time()
+    sc_out, ov = f(db)
+    sc_out.block_until_ready()
+    dt = time.time() - t0
+    fps = B * Tmax / dt
+    print(f"[bench] steady batch={B}: {dt:.2f}s = {fps:.0f} frames/s/chip = "
+          f"{fps/100:.1f}x RT ({dt/Tmax*1e3:.2f} ms/frame-row)", flush=True)
+
+    if not args.no_parity:
+        # oracle parity on the two held-out (short) utterances
+        jax.config.update("jax_enable_x64", True)
+        try:
+            pdec = TpuDecoder(art, dataclasses.replace(
+                tuned, dtype="float64", emit_diagnostics=True))
+            for i, ((words, _), sc) in enumerate(
+                    zip(utts[args.batch:], scores[args.batch:])):
+                sc = sc[:200].astype(np.float64)
+                r_tpu = pdec.decode_scores(sc)
+                ref = RefDecoder(
+                    net, models,
+                    phone_start_prune_win=0.0,
+                    emit_prune_win=tuned.emit_prune_win,
+                    phone_end_prune_win=tuned.phone_end_prune_win,
+                    word_prune_win=tuned.word_prune_win,
+                    max_emit_hyps=tuned.max_emit_hyps,
+                )
+                t0 = time.time()
+                r_ref = ref.decode(score_fn=lambda t, g: float(sc[t, g]),
+                                   n_frames=sc.shape[0])
+                assert r_ref.words == r_tpu.words, (
+                    "PARITY FAIL", i, r_ref.words, r_tpu.words)
+                assert abs(r_ref.score - r_tpu.score) < 1e-5, (
+                    "PARITY FAIL", i, r_ref.score, r_tpu.score)
+                print(f"[parity] utt {i}: {len(r_ref.words)} words exact "
+                      f"(oracle {time.time()-t0:.1f}s)", flush=True)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    print(json.dumps({
+        "metric": "wsj_e2e_frames_per_sec_chip", "value": round(fps, 1),
+        "unit": "frames/s/chip", "n_arcs": int(net.n_arcs),
+        "K": tuned.max_insts, "E": tuned.expand_budget,
+        "accuracy": round(acc, 4), "xRT": round(fps / 100, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
