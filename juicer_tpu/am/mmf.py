@@ -419,6 +419,49 @@ def _write_mixture_body(fd, m: MmfMixture) -> None:
     fd.write(f"<VARIANCE> {len(m.var)}\n {_fmt_vec(m.var)}\n")
 
 
+def untie_models(d: MmfDef, tied_list_path: str) -> MmfDef:
+    """Tied->physical model expansion: the `logical2physical.pl` +
+    `untieModels.sh` equivalent (`/root/reference/bin/logical2physical.pl`,
+    `untieModels.sh`).
+
+    The tied list has one logical model per line, optionally followed by
+    the physical model it is tied to. The output MMF has one ~h macro PER
+    LOGICAL NAME whose body is the physical model's (shared states /
+    transmats are referenced, not copied), sorted byte-lexicographically
+    (untieModels.sh sorts with LC_ALL=C so the macro order matches the
+    insyms ordering of an existing context-dependency FSM).
+    """
+    index = {h.name: h for h in d.hmms}
+    entries: list[tuple[str, str]] = []
+    with open(tied_list_path) as fd:
+        for line in fd:
+            parts = line.split()
+            if not parts:
+                continue
+            logical = parts[0]
+            physical = parts[1] if len(parts) > 1 else parts[0]
+            entries.append((logical, physical))
+    out = MmfDef(
+        global_opts=d.global_opts,
+        var_floors=dict(d.var_floors),
+        sh_transmats=dict(d.sh_transmats),
+        sh_states=dict(d.sh_states),
+        sh_mixtures=dict(d.sh_mixtures),
+        mix_pools=dict(d.mix_pools),
+    )
+    for logical, physical in sorted(entries, key=lambda e: e[0].encode()):
+        phys = index.get(physical)
+        if phys is None:
+            raise KeyError(
+                f"untie_models: physical model {physical!r} (for logical "
+                f"{logical!r}) not in the MMF"
+            )
+        out.hmms.append(
+            MmfHmm(logical, phys.n_states, phys.states, phys.transmat)
+        )
+    return out
+
+
 def _write_state(fd, s: MmfState) -> None:
     if s.tmix_pool is not None:
         fd.write(f"<NUMMIXES> {len(s.tmix_weights)}\n")

@@ -440,3 +440,92 @@ def apply_mllr_means(models, xset: MeanXformSet, baseclasses: Optional[BaseClass
         new_means.append(out)
     ms.gmm_means = new_means
     return ms
+
+
+def _component_classes_or_global(models, xset, baseclasses):
+    if baseclasses is None or (
+        len(xset.xforms) == 1 and xset.class_to_xform == {1: min(xset.xforms)}
+    ):
+        return [np.ones(m.shape[0], dtype=np.int32) for m in models.gmm_means]
+    return component_classes(models, baseclasses)
+
+
+def _models_shell(models):
+    from .models import AcousticModelSet
+
+    ms = AcousticModelSet()
+    ms.vec_size = models.vec_size
+    ms.hybrid_mode = models.hybrid_mode
+    ms.log_priors = models.log_priors
+    ms.gmm_names = list(models.gmm_names)
+    ms.gmm_means = [m.copy() for m in models.gmm_means]
+    ms.gmm_vars = [v.copy() for v in models.gmm_vars]
+    ms.gmm_log_weights = [w.copy() for w in models.gmm_log_weights]
+    ms.trans_mats = models.trans_mats
+    ms._trans_names = models._trans_names
+    ms.hmm_names = models.hmm_names
+    ms.hmm_gmm_inds = models.hmm_gmm_inds
+    ms.hmm_trans_ind = models.hmm_trans_ind
+    ms._hmm_index = models._hmm_index
+    ms._gmm_name_index = models._gmm_name_index
+    return ms
+
+
+def apply_mllr_var(models, xset: MeanXformSet,
+                   baseclasses: Optional[BaseClasses] = None):
+    """Model-space MLLRVAR variance adaptation (HAdapt XFORMKIND MLLRVAR,
+    reachable through HModels, `/root/reference/src/HModels.h:14-120`).
+
+    Per class c with transform H_c: sigma'^2 = diag(H_c Sigma H_c^T),
+    i.e. sigma'^2_d = sum_j H[d,j]^2 sigma^2_j — exact for the diagonal
+    H HTK estimates for diagonal-covariance systems, and the standard
+    diagonal projection otherwise. Means/weights unchanged.
+    """
+    classes = _component_classes_or_global(models, xset, baseclasses)
+    ms = _models_shell(models)
+    for gi, (var, cls) in enumerate(zip(models.gmm_vars, classes)):
+        out = var.copy()
+        for c in np.unique(cls):
+            xf = xset.xform_for_class(int(c)) if c > 0 else None
+            if xf is None:
+                continue
+            sel = cls == c
+            out[sel] = var[sel] @ (xf.A.T ** 2)
+        ms.gmm_vars[gi] = out
+    return ms
+
+
+def apply_mllr_cov(models, xset: MeanXformSet):
+    """Model-space covariance adaptation (HAdapt XFORMKIND MLLRCOV /
+    SEMIT: full-covariance transform Sigma' = H Sigma H^T, incl. global
+    semi-tied transforms).
+
+    Uses the exact Gaussian identity
+        N(x; mu, H Sigma H^T) = |H|^-1 N(H^-1 x; H^-1 mu, Sigma)
+    to stay inside the diagonal-covariance machinery: returns
+    (adapted models, feature InputXform) where means become H^-1 mu,
+    the per-component log-weights absorb -log|H|, and features must be
+    passed through x -> H^-1 x (wire the returned InputXform into the
+    frontend, e.g. `SpeakerXforms` style). GLOBAL transforms only: a
+    per-class H would need a differently-rotated feature stream per
+    class (HAdapt's per-class observation cache); estimate semi-tied /
+    MLLRCOV globally, as is standard for diagonal systems.
+    """
+    if len(set(xset.class_to_xform.values())) != 1:
+        raise NotImplementedError(
+            "apply_mllr_cov: only a GLOBAL MLLRCOV/SEMIT transform is "
+            "supported (per-class covariance rotations need per-class "
+            "feature streams)"
+        )
+    xf = xset.xforms[next(iter(set(xset.class_to_xform.values())))]
+    H = xf.A
+    Hinv = np.linalg.inv(H)
+    sign, logdet = np.linalg.slogdet(H)
+    if sign <= 0:
+        raise ValueError("apply_mllr_cov: transform must have |H| > 0")
+    ms = _models_shell(models)
+    for gi in range(len(ms.gmm_means)):
+        ms.gmm_means[gi] = models.gmm_means[gi] @ Hinv.T
+        ms.gmm_log_weights[gi] = models.gmm_log_weights[gi] - logdet
+    feat = InputXform(A=Hinv, b=np.zeros(H.shape[0]), logdet=-logdet)
+    return ms, feat

@@ -318,11 +318,16 @@ def main():
     art = DecoderArtifact(net, models)
     print(f"[artifact] {art} ({time.time()-t0:.1f}s)", flush=True)
 
-    # utterances
+    # utterances (plus two naturally SHORT ones for oracle parity: they
+    # must end near </s> so the final state is reachable and words exist)
     utts = sample_utterances(
         cache, models,
         (os.path.join(cache, "phones.lst"), os.path.join(cache, "lex.dict")),
-        n_utts=args.batch + 2, target_frames=args.frames, seed=11)
+        n_utts=args.batch, target_frames=args.frames, seed=11)
+    utts += sample_utterances(
+        cache, models,
+        (os.path.join(cache, "phones.lst"), os.path.join(cache, "lex.dict")),
+        n_utts=2, target_frames=150, seed=12)
     scorer = make_gmm_scorer(models.flat_params())
     scores = [np.asarray(scorer(jnp.asarray(f))) for _, f in utts]
     print(f"[utts] {len(utts)} utterances, T="
@@ -408,7 +413,7 @@ def main():
                 tuned, dtype="float64", emit_diagnostics=True))
             for i, ((words, _), sc) in enumerate(
                     zip(utts[args.batch:], scores[args.batch:])):
-                sc = sc[:200].astype(np.float64)
+                sc = sc.astype(np.float64)
                 r_tpu = pdec.decode_scores(sc)
                 ref = RefDecoder(
                     net, models,
@@ -425,6 +430,7 @@ def main():
                     "PARITY FAIL", i, r_ref.words, r_tpu.words)
                 assert abs(r_ref.score - r_tpu.score) < 1e-5, (
                     "PARITY FAIL", i, r_ref.score, r_tpu.score)
+                assert r_ref.words, f"parity utt {i} decoded no words"
                 print(f"[parity] utt {i}: {len(r_ref.words)} words exact "
                       f"(oracle {time.time()-t0:.1f}s)", flush=True)
         finally:

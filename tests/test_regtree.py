@@ -197,6 +197,86 @@ class TestXformSet:
         assert not np.allclose(s0, s1)
 
 
+class TestVarianceXforms:
+    def test_mllr_var_per_class(self, tmp_path):
+        """MLLRVAR: sigma'^2_d = sum_j H[d,j]^2 sigma^2_j per class."""
+        from juicer_tpu.am.regtree import apply_mllr_var
+
+        var_xf = MLLR.replace("MLLRMEAN", "MLLRVAR")
+        (tmp_path / "spk.var").write_text(var_xf)
+        (tmp_path / "global.base").write_text(BASECLASS)
+        xs = parse_xformset(str(tmp_path / "spk.var"))
+        bc = parse_baseclass(str(tmp_path / "global.base"))
+        ms = models()
+        ad = apply_mllr_var(ms, xs, bc)
+        # class 1 (aa): H = 2I -> variances x4
+        gi = int(ms.hmm_gmm_inds[ms.get_hmm_index("aa")][1])
+        np.testing.assert_allclose(ad.gmm_vars[gi], 4.0 * ms.gmm_vars[gi])
+        # class 2 (bb): H = I -> unchanged
+        gi = int(ms.hmm_gmm_inds[ms.get_hmm_index("bb")][0])
+        np.testing.assert_allclose(ad.gmm_vars[gi], ms.gmm_vars[gi])
+        # means untouched
+        for a, b in zip(ad.gmm_means, ms.gmm_means):
+            np.testing.assert_array_equal(a, b)
+
+    def test_mllr_cov_global_exact(self, tmp_path):
+        """Global MLLRCOV: scoring the returned (models', feature xform)
+        pair equals the full-covariance Gaussian N(x; mu, H Sigma H^T)
+        evaluated directly."""
+        from juicer_tpu.am.regtree import apply_mllr_cov
+
+        # a global non-diagonal H (rotation-ish + scale)
+        cov = """~a "spk.cov"
+<ADAPTKIND> BASE
+<XFORMSET>
+<XFORMKIND> MLLRCOV
+<NUMXFORMS> 1
+<LINXFORM> 1
+<VECSIZE> 3
+<BLOCKINFO> 1 3
+<BLOCK> 1
+<XFORM> 3 3
+ 1.2 0.3 0.0
+ -0.2 1.1 0.1
+ 0.0 0.2 0.9
+"""
+        p = tmp_path / "spk.cov"
+        p.write_text(cov)
+        xs = parse_xformset(str(p))
+        assert xs.kind == "MLLRCOV"
+        ms = models()
+        ad, feat = apply_mllr_cov(ms, xs)
+        H = xs.xforms[1].A
+        rng = np.random.default_rng(0)
+        for _ in range(3):
+            x = rng.normal(size=3)
+            # direct full-covariance evaluation per GMM
+            for gi in range(ms.n_gmms):
+                direct = -np.inf
+                for c in range(ms.gmm_means[gi].shape[0]):
+                    mu = ms.gmm_means[gi][c]
+                    S = H @ np.diag(ms.gmm_vars[gi][c]) @ H.T
+                    d = x - mu
+                    ll = (
+                        -0.5 * d @ np.linalg.solve(S, d)
+                        - 0.5 * (len(x) * np.log(2 * np.pi)
+                                 + np.linalg.slogdet(S)[1])
+                        + ms.gmm_log_weights[gi][c]
+                    )
+                    direct = np.logaddexp(direct, ll)
+                got = ad.score_gmm(gi, feat.A @ x + feat.b)
+                assert abs(got - direct) < 1e-9, (gi, got, direct)
+
+    def test_mllr_cov_multiclass_rejected(self, tmp_path):
+        from juicer_tpu.am.regtree import apply_mllr_cov
+        import pytest
+
+        (tmp_path / "spk.cov").write_text(MLLR.replace("MLLRMEAN", "MLLRCOV"))
+        xs = parse_xformset(str(tmp_path / "spk.cov"))
+        with pytest.raises(NotImplementedError):
+            apply_mllr_cov(models(), xs)
+
+
 class TestCliFlag:
     def test_load_models_adapts(self, tmp_path):
         from juicer_tpu.cli.juicer import load_models, make_parser

@@ -507,6 +507,41 @@ class TestMMF:
         assert r_ref.words == r_tpu.words == [1, 2]
         assert abs(r_ref.score - r_tpu.score) < 1e-6
 
+    def test_untie_models(self, tmp_path):
+        """logical2physical.pl / untieModels.sh equivalent: one ~h per
+        tied-list logical, body from the physical model, C-sorted order."""
+        from juicer_tpu.am.mmf import untie_models
+
+        d = parse_mmf(MMF, is_text=True)  # physical models: aa, bb
+        tied = tmp_path / "tied.list"
+        tied.write_text("z-aa+b aa\naa\na-bb+c bb\nbb\n")
+        out = untie_models(d, str(tied))
+        # byte-sorted: 'a-bb+c' < 'aa' < 'bb' < 'z-aa+b'
+        assert [h.name for h in out.hmms] == ["a-bb+c", "aa", "bb", "z-aa+b"]
+        ms_in = AcousticModelSet.from_def(d)
+        ms_out = AcousticModelSet.from_def(out)
+        x = np.array([0.4, -0.1, 0.2])
+        # logical copies must score exactly like their physicals
+        pairs = [("z-aa+b", "aa"), ("a-bb+c", "bb"), ("aa", "aa"), ("bb", "bb")]
+        for logical, physical in pairs:
+            hl = ms_out.get_hmm_index(logical)
+            hp = ms_in.get_hmm_index(physical)
+            assert ms_out.get_num_states(hl) == ms_in.get_num_states(hp)
+            for j in range(1, ms_in.get_num_states(hp) - 1):
+                assert abs(ms_out.calc_output(hl, j, x)
+                           - ms_in.calc_output(hp, j, x)) < 1e-12
+        # missing physical raises
+        tied.write_text("x nosuch\n")
+        with pytest.raises(KeyError):
+            untie_models(d, str(tied))
+        # round-trips through the writer
+        from juicer_tpu.am.mmf import write_mmf as _w
+        p = tmp_path / "untied.mmf"
+        tied.write_text("z-aa+b aa\naa\n")
+        _w(untie_models(d, str(tied)), p)
+        d2 = parse_mmf(str(p))
+        assert [h.name for h in d2.hmms] == ["aa", "z-aa+b"]
+
     def test_hybrid_mode(self):
         ms = AcousticModelSet.hybrid(["aa", "bb", "cc"], np.array([0.5, 0.3, 0.2]), 5)
         assert ms.n_hmms == 3
