@@ -266,6 +266,77 @@ class DecoderArtifact:
             f_seq=np.asarray(fcols[3], dtype=np.int32),
         )
 
+    # -- binary cache --------------------------------------------------------
+
+    def save_npz(self, path: str) -> None:
+        """Cache the compiled expansion (the WSJ-scale build is minutes of
+        closure DFS + packing; reloading is seconds)."""
+        ex = self.expansion
+        seq_flat = np.concatenate(
+            [np.asarray(s, np.int32) for s in self.seqs if s]
+            or [np.zeros(0, np.int32)]
+        )
+        seq_len = np.asarray([len(s) for s in self.seqs], np.int32)
+        np.savez_compressed(
+            path,
+            hmm_arc_ids=self.hmm_arc_ids,
+            arc_hmm=self.arc_hmm, arc_weight=self.arc_weight,
+            arc_olabel=self.arc_olabel, arc_dst=self.arc_dst,
+            trP=self.trP, state_gmm=self.state_gmm,
+            hmm_n_states=self.hmm_n_states, tee=self.tee,
+            row_ptr=ex.row_ptr, ent_arc=ex.arc, w_score=ex.w_score,
+            w_lm=ex.w_lm, w_ac=ex.w_ac, ent_seq=ex.seq,
+            frow_ptr=ex.frow_ptr, f_score=ex.f_score, f_lm=ex.f_lm,
+            f_ac=ex.f_ac, f_seq=ex.f_seq,
+            seq_flat=seq_flat, seq_len=seq_len,
+        )
+
+    @classmethod
+    def load_npz(cls, path: str, network: DecoderNetwork,
+                 models: AcousticModelSet) -> "DecoderArtifact":
+        """Restore a cached artifact. `network`/`models` must be the same
+        resources the cache was built from (needed for the lazy traceback
+        remainder DFS and downstream consumers)."""
+        z = np.load(path)
+        art = cls.__new__(cls)
+        art.net = network
+        art.models = models
+        art.hmm_arc_ids = z["hmm_arc_ids"]
+        art.n_hmm_arcs = len(art.hmm_arc_ids)
+        art._global_to_hmm = np.full(network.n_arcs, -1, dtype=np.int64)
+        art._global_to_hmm[art.hmm_arc_ids] = np.arange(art.n_hmm_arcs)
+        art.arc_hmm = z["arc_hmm"]
+        art.arc_weight = z["arc_weight"]
+        art.arc_olabel = z["arc_olabel"]
+        art.arc_dst = z["arc_dst"]
+        art.trP = z["trP"]
+        art.state_gmm = z["state_gmm"]
+        art.hmm_n_states = z["hmm_n_states"]
+        art.tee = z["tee"]
+        art.S = art.trP.shape[1]
+        seq_len = z["seq_len"]
+        seq_off = np.concatenate([[0], np.cumsum(seq_len)])
+        flat = z["seq_flat"]
+        art.seqs = [
+            tuple(int(x) for x in flat[seq_off[i]:seq_off[i + 1]])
+            for i in range(len(seq_len))
+        ]
+        art._seq_index = {s: i for i, s in enumerate(art.seqs)}
+        art._state_entries = {}
+        art._state_finals = {}
+        art._cum_entries = {}
+        art._remainder_cache = {}
+        art._fremainder_cache = {}
+        art._max_entries = 100000
+        art._native = None
+        art.expansion = Expansion(
+            row_ptr=z["row_ptr"], arc=z["ent_arc"], w_score=z["w_score"],
+            w_lm=z["w_lm"], w_ac=z["w_ac"], seq=z["ent_seq"],
+            frow_ptr=z["frow_ptr"], f_score=z["f_score"], f_lm=z["f_lm"],
+            f_ac=z["f_ac"], f_seq=z["f_seq"],
+        )
+        return art
+
     # -- per-label crossing remainders (traceback word decomposition) --------
 
     def _closure_cums(self, state: int):

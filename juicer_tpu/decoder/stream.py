@@ -30,7 +30,19 @@ class StreamingDecoder:
         import jax
 
         self.dec = decoder
-        self._jit_chunk = jax.jit(decoder._chunk_scan)
+
+        # device tables as jit args (see TpuDecoder._decode_jit)
+        def _chunk_with_dev(dev, carry, scores, t0):
+            saved = decoder.dev
+            decoder.dev = dev
+            try:
+                return decoder._chunk_scan(carry, scores, t0)
+            finally:
+                decoder.dev = saved
+
+        jitted = jax.jit(_chunk_with_dev)
+        self._jit_chunk = lambda carry, scores, t0: jitted(
+            decoder.dev, carry, scores, t0)
         self.carry = None
         self.rec0 = None
         self.t = 0

@@ -165,49 +165,54 @@ class TpuDecoder:
 
         ex = artifact.expansion
 
-        def pad1(x, fill=0):
-            x = np.asarray(x)
-            return np.concatenate([x, np.full(1, fill, x.dtype)]) if True else x
+        # --- config-independent device tables are cached ON THE ARTIFACT:
+        # at WSJ scale ent_pack alone is multi-GB, and rebuilding a
+        # TpuDecoder (autotune probes, diagnostics on/off, dtype-matched
+        # oracles) must not re-upload it per instance
+        cache_key = str(dt)
+        dev_cache = getattr(artifact, "_dev_cache", None)
+        if dev_cache is None:
+            dev_cache = artifact._dev_cache = {}
+        static = dev_cache.get(cache_key)
+        if static is None:
+            # --- per-arc metadata: ONE row-gather per frontier slot -------
+            # rows: [hmm, olabel, ent_base, ent_fan, f_base, f_fan];
+            # index n_arcs = virtual start source, n_arcs+1 = dead sentinel
+            ent_base = np.asarray(ex.row_ptr[:-1], np.float64)
+            ent_fan = np.diff(ex.row_ptr).astype(np.float64)
+            f_base = np.asarray(ex.frow_ptr[:-1], np.float64)
+            f_fan = np.diff(ex.frow_ptr).astype(np.float64)
+            hmm_col = np.concatenate([artifact.arc_hmm.astype(np.float64), [0.0]])
+            ol_col = np.concatenate([artifact.arc_olabel.astype(np.float64), [0.0]])
+            arc_meta = np.stack(
+                [hmm_col, ol_col, ent_base, ent_fan, f_base, f_fan], axis=1
+            )
+            arc_meta = np.concatenate([arc_meta, np.zeros((1, 6))], axis=0)
 
-        # --- per-arc metadata: ONE row-gather per frontier slot -----------
-        # rows: [hmm, olabel, ent_base, ent_fan, f_base, f_fan]
-        # extra row at index n_arcs+1? we use index n_arcs for the virtual
-        # start source and n_arcs+1 as the dead-slot sentinel.
-        n_src = self.n_arcs + 1
-        ent_base = np.asarray(ex.row_ptr[:-1], np.float64)
-        ent_fan = np.diff(ex.row_ptr).astype(np.float64)
-        f_base = np.asarray(ex.frow_ptr[:-1], np.float64)
-        f_fan = np.diff(ex.frow_ptr).astype(np.float64)
-        hmm_col = np.concatenate([artifact.arc_hmm.astype(np.float64), [0.0]])
-        ol_col = np.concatenate([artifact.arc_olabel.astype(np.float64), [0.0]])
-        arc_meta = np.stack(
-            [hmm_col, ol_col, ent_base, ent_fan, f_base, f_fan], axis=1
-        )
-        # dead-slot sentinel row (all zeros)
-        arc_meta = np.concatenate([arc_meta, np.zeros((1, 6))], axis=0)
-
-        # --- expansion entry tables packed for single row-gathers ---------
-        def pack_entries(arc, ws, wlm, wac, seq):
-            n = max(len(ws), 1)
-            out = np.zeros((n, 5))
-            if len(ws):
-                out[:, 0] = arc
-                out[:, 1] = ws
-                out[:, 2] = wlm
-                out[:, 3] = wac
-                out[:, 4] = seq
-            return out
-
-        ent_pack = pack_entries(ex.arc, ex.w_score, ex.w_lm, ex.w_ac, ex.seq)
-        f_pack = np.zeros((max(len(ex.f_score), 1), 4))
-        if len(ex.f_score):
-            f_pack[:, 0] = ex.f_score
-            f_pack[:, 1] = ex.f_lm
-            f_pack[:, 2] = ex.f_ac
-            f_pack[:, 3] = ex.f_seq
+            # --- expansion entry tables packed for single row-gathers -----
+            n_ent = max(len(ex.w_score), 1)
+            ent_pack = np.zeros((n_ent, 5))
+            if len(ex.w_score):
+                ent_pack[:, 0] = ex.arc
+                ent_pack[:, 1] = ex.w_score
+                ent_pack[:, 2] = ex.w_lm
+                ent_pack[:, 3] = ex.w_ac
+                ent_pack[:, 4] = ex.seq
+            f_pack = np.zeros((max(len(ex.f_score), 1), 4))
+            if len(ex.f_score):
+                f_pack[:, 0] = ex.f_score
+                f_pack[:, 1] = ex.f_lm
+                f_pack[:, 2] = ex.f_ac
+                f_pack[:, 3] = ex.f_seq
+            static = {
+                "arc_meta": jnp.asarray(arc_meta, dtype=dt),
+                "ent_pack": jnp.asarray(ent_pack, dtype=dt),
+                "f_pack": jnp.asarray(f_pack, dtype=dt),
+            }
+            dev_cache[cache_key] = static
 
         self.dev = {
-            "arc_meta": jnp.asarray(arc_meta, dtype=dt),  # (n_arcs+2, 6)
+            "arc_meta": static["arc_meta"],  # (n_arcs+2, 6)
             "trP_flat": jnp.asarray(
                 artifact.trP.reshape(self.H, -1), dtype=dt
             ),  # (H, S*S)
@@ -215,8 +220,8 @@ class TpuDecoder:
                 (artifact.state_gmm >= 0).astype(np.float32), dtype=dt
             ),  # (H, S)
             "state_gmm": jnp.asarray(np.maximum(artifact.state_gmm, 0)),  # (H, S)
-            "ent_pack": jnp.asarray(ent_pack, dtype=dt),  # (n_ent, 5)
-            "f_pack": jnp.asarray(f_pack, dtype=dt),  # (n_fent, 4)
+            "ent_pack": static["ent_pack"],  # (n_ent, 5)
+            "f_pack": static["f_pack"],  # (n_fent, 4)
         }
 
         if self.otf:
@@ -294,7 +299,23 @@ class TpuDecoder:
                 and self.K <= 1024 and self.E <= 2048)
             else 1
         )
-        self._decode_jit = jax.jit(self._decode_scan)
+        # The device tables are passed as jit ARGUMENTS, not closed over:
+        # closed-over arrays are captured as lowering-time constants, and
+        # at WSJ scale the multi-GB entry table makes every (re)compile
+        # haul them through the lowering pipeline. Swapping self.dev for
+        # the argument pytree during trace keeps the whole engine
+        # attribute-style while the compiled program takes them as plain
+        # buffers.
+        def _scan_with_dev(dev, gmm_scores):
+            saved = self.dev
+            self.dev = dev
+            try:
+                return self._decode_scan(gmm_scores)
+            finally:
+                self.dev = saved
+
+        jit_scan = jax.jit(_scan_with_dev)
+        self._decode_jit = lambda scores: jit_scan(self.dev, scores)
 
     # ------------------------------------------------------------------
     # helpers

@@ -53,12 +53,24 @@ class BatchDecoder:
         self.pallas_chunk = pallas_chunk
         self.pallas_interpret = pallas_interpret
         self._ps = {}  # B_local -> (PallasDecodeScan, batch fn)
-        batched = jax.vmap(decoder._decode_scan)
+
+        # device tables as jit args (see TpuDecoder._decode_jit): big
+        # closed-over tables otherwise ride every lowering as constants
+        def batched(dev, scores):
+            saved = decoder.dev
+            decoder.dev = dev
+            try:
+                return jax.vmap(decoder._decode_scan)(scores)
+            finally:
+                decoder.dev = saved
+
         if mesh is not None:
             sharding = NamedSharding(mesh, P(axis))
-            self._fn = jax.jit(batched, in_shardings=(sharding,), out_shardings=sharding)
+            fn = jax.jit(batched, in_shardings=(None, sharding),
+                         out_shardings=sharding)
         else:
-            self._fn = jax.jit(batched)
+            fn = jax.jit(batched)
+        self._fn = lambda scores: fn(decoder.dev, scores)
 
     # -- fused Pallas path ------------------------------------------------
 
