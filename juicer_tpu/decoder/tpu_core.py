@@ -205,7 +205,13 @@ class TpuDecoder:
                 f_pack[:, 2] = ex.f_ac
                 f_pack[:, 3] = ex.f_seq
             static = {
-                "arc_meta": jnp.asarray(arc_meta, dtype=dt),
+                # arc_meta is INTEGER data (hmm, olabel, CSR bases/fans):
+                # kept int32 so entry-table offsets stay exact past 2^24
+                # (a WSJ-scale closure has >200M entries; carrying bases
+                # in f32 silently rounded them to multiples of 16 and
+                # gathered the wrong closure entries — caught by the
+                # reference-scale parity check, round 4)
+                "arc_meta": jnp.asarray(arc_meta, dtype=np.int32),
                 "ent_pack": jnp.asarray(ent_pack, dtype=dt),
                 "f_pack": jnp.asarray(f_pack, dtype=dt),
             }
@@ -448,12 +454,16 @@ class TpuDecoder:
         # the packed source row at its (unique, ascending) start offset, then
         # forward-fill with a log-depth associative scan. This avoids both a
         # binary search and a gather — everything is vectorized.
+        # Entry-table BASES exceed 2^24 at WSJ scale (213M closure entries),
+        # so they ride the f32 payload split into 4096-sized hi/lo halves
+        # (each exactly representable) and are reassembled in int32.
         src_pack = jnp.stack(
             [
                 src_score,
                 src_ac,
                 src_path.astype(dt),
-                base.astype(dt),
+                (base // 4096).astype(dt),
+                (base % 4096).astype(dt),
                 fan.astype(dt),
                 offs.astype(dt),
             ]
@@ -463,9 +473,11 @@ class TpuDecoder:
         rows, filled = _segment_broadcast(src_pack, offs, fan > 0, E)
         s_score, s_ac = rows[:, 0], rows[:, 1]
         s_path = rows[:, 2].astype(jnp.int32)
-        s_base = rows[:, 3].astype(jnp.int32)
-        s_fan = rows[:, 4].astype(jnp.int32)
-        s_offs = rows[:, 5].astype(jnp.int32)
+        s_base = (
+            rows[:, 3].astype(jnp.int32) * 4096 + rows[:, 4].astype(jnp.int32)
+        )
+        s_fan = rows[:, 5].astype(jnp.int32)
+        s_offs = rows[:, 6].astype(jnp.int32)
         within = e_idx - s_offs
         valid = filled & (e_idx < total) & (within < s_fan)
         ent = jnp.clip(s_base + within, 0, dev["ent_pack"].shape[0] - 1)
@@ -477,7 +489,7 @@ class TpuDecoder:
         return dict(
             arc=cand_arc, score=cand_score, ac=cand_ac,
             prev=s_path, seq=cand_seq, valid=valid & (cand_score > NEG / 2),
-            overflow=total > E, n_cand=total, extra=rows[:, 6:],
+            overflow=total > E, n_cand=total, extra=rows[:, 7:],
         )
 
     def _expand_finals(self, src_score, src_ac, src_path, base, fan, live,
@@ -495,12 +507,14 @@ class TpuDecoder:
         offs = jnp.cumsum(fan) - fan
         total = offs[-1] + fan[-1]
         e_idx = jnp.arange(F, dtype=jnp.int32)
+        # hi/lo base split: see _expand
         src_pack = jnp.stack(
             [
                 src_score,
                 src_ac,
                 src_path.astype(dt),
-                base.astype(dt),
+                (base // 4096).astype(dt),
+                (base % 4096).astype(dt),
                 fan.astype(dt),
                 offs.astype(dt),
             ]
@@ -508,19 +522,20 @@ class TpuDecoder:
             axis=1,
         )
         rows, filled = _segment_broadcast(src_pack, offs, fan > 0, F)
-        within = e_idx - rows[:, 5].astype(jnp.int32)
-        valid = filled & (e_idx < total) & (within < rows[:, 4].astype(jnp.int32))
-        ent = jnp.clip(
-            rows[:, 3].astype(jnp.int32) + within, 0, dev["f_pack"].shape[0] - 1
+        within = e_idx - rows[:, 6].astype(jnp.int32)
+        valid = filled & (e_idx < total) & (within < rows[:, 5].astype(jnp.int32))
+        f_base_r = (
+            rows[:, 3].astype(jnp.int32) * 4096 + rows[:, 4].astype(jnp.int32)
         )
+        ent = jnp.clip(f_base_r + within, 0, dev["f_pack"].shape[0] - 1)
         frow = dev["f_pack"][ent]  # (F, 4)
         sc = jnp.where(valid, rows[:, 0] + frow[:, 0], NEG)
         ac = rows[:, 1] + frow[:, 2]
         i = jnp.argmax(sc)
         better = sc[i] > best["score"]
-        # extras are packed after the 6 base source columns; callers always
+        # extras are packed after the 7 base source columns; callers always
         # pass the source arc first (see _frame_step/_init_carry)
-        src = rows[:, 6].astype(jnp.int32)
+        src = rows[:, 7].astype(jnp.int32)
         new = {
             "score": jnp.where(better, sc[i], best["score"]),
             "ac": jnp.where(better, ac[i], best["ac"]),
@@ -537,7 +552,7 @@ class TpuDecoder:
             "seq": frow[:, 3].astype(jnp.int32),
             "src": src,
             "valid": valid,
-            "extra": rows[:, 6:],
+            "extra": rows[:, 7:],
         }
         return new, total > F, records
 
@@ -1226,10 +1241,10 @@ class TpuDecoder:
         src_path = jnp.full((K,), -1, jnp.int32)
         live = jnp.zeros((K,), bool).at[0].set(True)
         meta0 = self.dev["arc_meta"][self.n_arcs]
-        base = jnp.full((K,), meta0[2], self._dt).astype(jnp.int32)
-        fan = jnp.full((K,), meta0[3], self._dt).astype(jnp.int32)
-        fb = jnp.full((K,), meta0[4], self._dt).astype(jnp.int32)
-        ff = jnp.full((K,), meta0[5], self._dt).astype(jnp.int32)
+        base = jnp.full((K,), meta0[2], jnp.int32)
+        fan = jnp.full((K,), meta0[3], jnp.int32)
+        fb = jnp.full((K,), meta0[4], jnp.int32)
+        ff = jnp.full((K,), meta0[5], jnp.int32)
         lat = self.cfg.gen_lattice
         extra = (
             (jnp.full((K,), self.n_arcs, jnp.int32),)  # virtual start src
@@ -1330,6 +1345,11 @@ class TpuDecoder:
     def decode_scores(self, gmm_scores: np.ndarray) -> DecodeResult:
         """Decode from a precomputed (T, n_gmms) log-likelihood matrix."""
         T = int(gmm_scores.shape[0])
+        if self._dt == jnp.float32 and T * self.K >= (1 << 24):
+            raise ValueError(
+                f"T*K = {T * self.K} exceeds exact f32 record ids (2^24); "
+                f"use dtype='float64' or a shorter utterance/smaller K"
+            )
         gmm_scores = np.asarray(gmm_scores)
         if not self.cfg.emit_diagnostics:
             # no best-final snapshots -> no exact padding; decode unpadded
