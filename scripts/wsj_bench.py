@@ -290,9 +290,16 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--words", type=int, default=20000)
     ap.add_argument("--bigrams", type=int, default=1_500_000)
-    ap.add_argument("--beam", type=float, default=160.0)
-    ap.add_argument("--end-beam", type=float, default=120.0)
-    ap.add_argument("--maxhyps", type=int, default=8000)
+    # default pruning = the conservative certified operating point from
+    # the combined-pruning ladder (PERF.md R4.3b): 100% word accuracy,
+    # zero overflow, 66x RT. `--beam 70 --end-beam 50 --maxhyps 500`
+    # reaches 102.8x RT (still 100% acc on this task); the wide
+    # zero-loss point (160/120/8000, 4.4x RT) is also reproducible.
+    ap.add_argument("--beam", type=float, default=85.0)
+    ap.add_argument("--end-beam", type=float, default=60.0)
+    ap.add_argument("--maxhyps", type=int, default=800)
+    ap.add_argument("--unroll", type=int, default=4,
+                    help="frame-loop unroll for the steady bench")
     ap.add_argument("--merge", type=str, default="auto",
                     help="merge_strategy: auto|dense|sort")
     ap.add_argument("--frames", type=int, default=1000)
@@ -395,7 +402,9 @@ def main():
         return
 
     t0 = time.time()
-    tuned = autotune_budgets(art, scores[:2], base, margin=1.4)
+    # certify over the WHOLE batch: 2-sample certification left 1/8
+    # utterances overflowing on the first full run (PERF.md R4.3)
+    tuned = autotune_budgets(art, scores[: args.batch], base, margin=1.4)
     print(f"[autotune] K={tuned.max_insts} E={tuned.expand_budget} "
           f"({time.time()-t0:.1f}s)", flush=True)
 
@@ -440,7 +449,8 @@ def main():
         np.pad(s, ((0, Tmax - s.shape[0]), (0, 0)), mode="edge")
         for s in scores[:B]
     ])
-    fast = TpuDecoder(art, dataclasses.replace(tuned, emit_diagnostics=False))
+    fast = TpuDecoder(art, dataclasses.replace(
+        tuned, emit_diagnostics=False, scan_unroll=args.unroll))
 
     def one(dev, s):
         saved = fast.dev
