@@ -1,26 +1,124 @@
-"""Headline benchmark: decoded audio frames / second / chip.
+"""Headline benchmark: decoded audio frames / second / chip at REFERENCE
+SCALE.
 
-Runs the fused acoustic-scoring + frontier-search decoder on a synthetic
-midsize task (word-loop CLG, diagonal-GMM HMMs) and measures sustained
-decode throughput in audio frames per second per chip. The reference
-baseline for `vs_baseline` is 100x real time at a 100 Hz frame rate
-(10,000 frames/s/chip) — the BASELINE.json north-star target
-(">100x real-time frames/s/chip").
+Default mode loads the cached 20k-word WSJ-order task (7.87M-arc CLG
+built by the framework's own offline pipeline, scripts/wsj_bench.py) and
+measures sustained decode throughput at the certified combined-pruning
+operating point from the pruning ladder (PERF.md R4.3b / R5):
+beam 70 / end-beam 50 / maxHyps 500, certified budgets K=1024 / E=1408,
+batch 16, frame-loop unroll 4. Certification is in-run: the benched
+program itself emits per-utterance budget-overflow flags and the bench
+aborts rather than report a pruned-result throughput.
+
+The reference baseline for `vs_baseline` is 100x real time at a 100 Hz
+frame rate (10,000 frames/s/chip) — the BASELINE.json north-star target
+(">100x real-time frames/s/chip") — so vs_baseline > 1.0 means the
+north star is beaten AT reference scale (the reference's comparable
+combined-pruning WSJ point runs ~3.9x slower than real time,
+BASELINE.md).
+
+`--toy` runs the synthetic midsize bench (200-word task, K=E=128) that
+was the headline through round 4; `--quick` is its small variant. The
+axon TPU tunnel sometimes hangs compiles >9 min (CLAUDE.md), so the
+default mode re-execs itself as a guarded subprocess and retries once
+before falling back to the toy bench.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+ROOT = os.path.dirname(os.path.abspath(__file__))
+WSJ_CACHE = os.path.join(ROOT, "scripts", "_wsj_cache_20k")
 
-def main():
-    quick = "--quick" in sys.argv
-    use_pallas = "--pallas" in sys.argv
+# The certified operating point (PERF.md R4.3b): 100% word accuracy on
+# the generating transcript, zero overflow over the 8-utterance eval
+# batch, autotuned budgets at margin 1.4.
+WSJ_POINT = dict(beam=70.0, end_beam=50.0, maxhyps=500, K=1024, E=1408,
+                 unroll=4, batch=16, frames=1000)
+
+
+def run_wsj():
+    """Reference-scale steady-state throughput at the certified point."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(ROOT, "scripts"))
+    from wsj_bench import ensure_artifact, ensure_task, sample_utterances
+
+    from juicer_tpu.decoder.tpu_core import TpuDecoder, TpuDecoderConfig
+    from juicer_tpu.ops.gmm import make_gmm_scorer
+
+    p = WSJ_POINT
+    net, models = ensure_task(WSJ_CACHE, 20000, 1_500_000)
+    art = ensure_artifact(WSJ_CACHE, net, models)
+
+    utts = sample_utterances(
+        WSJ_CACHE, models,
+        (os.path.join(WSJ_CACHE, "phones.lst"),
+         os.path.join(WSJ_CACHE, "lex.dict")),
+        n_utts=p["batch"], target_frames=p["frames"], seed=11)
+    scorer = make_gmm_scorer(models.flat_params())
+    scores = [np.asarray(scorer(jnp.asarray(f))) for _, f in utts]
+
+    cfg = TpuDecoderConfig(
+        emit_prune_win=p["beam"], phone_end_prune_win=p["end_beam"],
+        word_prune_win=p["end_beam"], max_emit_hyps=p["maxhyps"],
+        max_insts=p["K"], expand_budget=p["E"], final_budget=1024,
+        emit_diagnostics=False, scan_unroll=p["unroll"],
+    )
+    dec = TpuDecoder(art, cfg)
+
+    B = p["batch"]
+    Tmax = max(s.shape[0] for s in scores)
+    batch_sc = np.stack([
+        np.pad(s, ((0, Tmax - s.shape[0]), (0, 0)), mode="edge")
+        for s in scores
+    ])
+
+    def one(dev, s):
+        saved = dec.dev
+        dec.dev = dev
+        try:
+            carry, ys, rec0 = dec._decode_scan(s.astype(dec._dt))
+        finally:
+            dec.dev = saved
+        return carry["best_final"]["score"], carry["overflow"]
+
+    fj = jax.jit(jax.vmap(one, in_axes=(None, 0)))
+    db = jnp.asarray(batch_sc, jnp.float32)
+    sc_out, ov = fj(dec.dev, db)  # compile + certification run
+    sc_out.block_until_ready()
+    n_ov = int(np.sum(np.asarray(ov)))
+    dead = int(np.sum(~np.isfinite(np.asarray(sc_out))))
+    if n_ov or dead:
+        raise SystemExit(
+            f"bench: certification failed at the operating point "
+            f"(overflow {n_ov}/{B}, dead {dead}/{B}) — throughput would "
+            f"report pruned/empty results")
+
+    t0 = time.perf_counter()
+    sc_out, ov = fj(dec.dev, db)
+    sc_out.block_until_ready()
+    dt = time.perf_counter() - t0
+    fps = B * Tmax / dt
+    return {
+        "metric": "wsj-scale decoded audio frames/sec/chip "
+                  "(7.87M-arc 20k-word network, certified pruning)",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 10_000.0, 3),
+    }
+
+
+def run_toy(quick=False, use_pallas=False):
+    """The synthetic midsize bench (rounds 1-4 headline)."""
     import jax
     import jax.numpy as jnp
 
@@ -37,25 +135,14 @@ def main():
         # B=128 is the measured utilization sweet spot at this frontier
         # size (B=32: 112k, B=64: 122k, B=128: 137k, B=256: 104k fps)
         n_words, n_phones, vec, B, T, iters = 200, 40, 39, 128, 1000, 5
-        # per-frame cost is dominated by the (K+E)-row co-sort (ablation
-        # profile: scripts/profile_step.py), so budgets sit as low as the
-        # in-run certification allows: measured peak 49 active insts / 48
-        # candidates at these beams, certified non-binding below
         K, E = 128, 128
 
     task = make_synth_task(
         n_words=n_words, n_phones=n_phones, vec_size=vec, n_comps=8, seed=0
     )
-    # Beam-pruned operating point, like the reference's published numbers
-    # (WSJ pruning study, main beam 150-250: `juicer_userman.tex:606-673`).
-    # On this corpus the beam is verified loss-free: 1-best output matches
-    # the unpruned decode exactly (beam sweep 75-300, see git history), and
-    # the budgets (autotuned: peak 49 active / 48 candidates at beam 150)
-    # are certified by the overflow check below — if a budget ever bound,
-    # the run aborts rather than report a pruned-result throughput.
+    # Beam-pruned operating point; beams verified loss-free on this corpus
+    # and budgets certified non-binding (see git history / PERF.md).
     beams = dict(emit_prune_win=150.0, phone_end_prune_win=75.0)
-    # scan_unroll=16: measured best on TPU at these shapes (173k -> 287k
-    # frames/s, exact; PERF.md §4)
     cfg = TpuDecoderConfig(max_insts=K, expand_budget=E, final_budget=128,
                            emit_diagnostics=False, scan_unroll=16, **beams)
     dec = TpuDecoder(task.artifact, cfg)
@@ -68,10 +155,9 @@ def main():
     decode_batch = jax.jit(jax.vmap(one))
 
     if use_pallas:
-        # the fused VMEM-resident decode scan (decoder/pallas_scan.py)
         from juicer_tpu.decoder.pallas_scan import PallasDecodeScan
 
-        T = -(-T // 128) * 128  # chunked kernel: T must be a 128-multiple
+        T = -(-T // 128) * 128
         ps = PallasDecodeScan(dec, B, chunk=128)
 
         @jax.jit
@@ -86,14 +172,10 @@ def main():
 
         @jax.jit
         def step(features):
-            # score the whole batch flat (Pallas kernel), then decode per
-            # utterance
             Bf, Tf, Df = features.shape
             scores = scorer(features.reshape(Bf * Tf, Df))
             return decode_batch(scores.reshape(Bf, Tf, -1))
 
-    # synthesize a real utterance batch (random word sequences); a few
-    # distinct utterances tiled to B keeps setup time low
     rng = np.random.default_rng(1)
     words = [f"w{i}" for i in range(n_words)]
     distinct = []
@@ -108,45 +190,72 @@ def main():
     feats = np.stack([distinct[i % len(distinct)] for i in range(B)])
     feats = jnp.asarray(feats, jnp.float32)
 
-    # certification pass: decode each DISTINCT utterance (the batch tiles
-    # these ≤4 utterances, so certifying them certifies every batch row)
-    # with diagnostics on and assert no frontier/expansion budget ever
-    # bound (overflow False => results are bit-identical to unbounded
-    # budgets at these beams)
+    # certification: decode each DISTINCT utterance with diagnostics on
+    # and assert no budget ever bound
     import dataclasses
 
-    diag = TpuDecoder(task.artifact, dataclasses.replace(cfg, emit_diagnostics=True))
+    diag = TpuDecoder(task.artifact,
+                      dataclasses.replace(cfg, emit_diagnostics=True))
     for f in distinct:
         r = diag.decode_scores(np.asarray(scorer(jnp.asarray(f, jnp.float32))))
         if r.overflow or not r.words:
             raise SystemExit(
-                f"bench: budget overflow (peak {r.max_active}/{r.max_cand}) — "
-                "throughput at these budgets would report pruned results"
-            )
+                f"bench: budget overflow (peak {r.max_active}/{r.max_cand})")
 
-    # warm up (compile)
     out = step(feats)
     out.block_until_ready()
-
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(feats)
     out.block_until_ready()
     dt = time.perf_counter() - t0
+    fps = B * T * iters / dt
+    return {
+        "metric": "decoded audio frames/sec/chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 10_000.0, 3),
+    }
 
-    frames = B * T * iters
-    fps = frames / dt
-    baseline = 10_000.0  # 100x real time per chip at 100 frames/s
-    print(
-        json.dumps(
-            {
-                "metric": "decoded audio frames/sec/chip",
-                "value": round(fps, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / baseline, 3),
-            }
-        )
-    )
+
+def main():
+    quick = "--quick" in sys.argv
+    toy = "--toy" in sys.argv or quick
+    use_pallas = "--pallas" in sys.argv
+    child = "--_child" in sys.argv
+
+    if toy or use_pallas:
+        print(json.dumps(run_toy(quick, use_pallas)))
+        return
+    if child:
+        print(json.dumps(run_wsj()))
+        return
+    if not os.path.exists(os.path.join(WSJ_CACHE, "clg.npz")):
+        print("[bench] WSJ cache missing — toy bench", file=sys.stderr)
+        print(json.dumps(run_toy()))
+        return
+
+    # Guarded re-exec: the axon tunnel occasionally hangs a compile >9 min
+    # (CLAUDE.md); run the reference-scale bench in a subprocess with a
+    # timeout, retry once, then fall back to the toy bench so the driver
+    # always gets a measurement.
+    for attempt, tmo in ((1, 1800), (2, 1500)):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--_child"],
+                capture_output=True, text=True, timeout=tmo)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] attempt {attempt} timed out after {tmo}s",
+                  file=sys.stderr)
+            continue
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if r.returncode == 0 and lines:
+            print(lines[-1])
+            return
+        print(f"[bench] attempt {attempt} failed rc={r.returncode}:\n"
+              f"{r.stderr[-2000:]}", file=sys.stderr)
+    print("[bench] falling back to toy bench", file=sys.stderr)
+    print(json.dumps(run_toy()))
 
 
 if __name__ == "__main__":

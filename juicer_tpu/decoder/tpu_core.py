@@ -109,6 +109,14 @@ class TpuDecoderConfig:
     # anticipated (singleton) output label at entry and compensate at exit,
     # so LM information participates in pruning early
     otf_pushing: bool = False
+    # device-table binding for the jitted decode scan. "args" passes the
+    # table pytree as plain jit arguments (mandatory at WSJ scale: multi-GB
+    # closed-over constants ride through every (re)lowering and make
+    # autotune probe compiles pathologically slow). "const" closes over
+    # them as lowering-time constants (faster dispatch + constant folding
+    # at toy/bench table sizes — the r4 all-args change cost 8% on the
+    # small-budget bench, PERF.md R5.1). "auto" picks by total table bytes.
+    tables_as_args: str = "auto"
 
 
 class TpuDecoder:
@@ -161,6 +169,16 @@ class TpuDecoder:
             self.n_arcs >= (1 << 24) or len(artifact.seqs) >= (1 << 24)
         ):
             raise ValueError("network too large for f32 packed tables; use float64")
+
+        # Entry-table BASES exceed 2^24 at WSJ scale (213M closure entries)
+        # and stop being exactly representable in the f32 expansion payload;
+        # there they ride split into 4096-sized hi/lo halves. Below 2^24
+        # (every toy/midsize task) the single-column form is exact and one
+        # payload column cheaper (part of the r4 toy-bench regression fix,
+        # PERF.md R5.1).
+        self._base_split = dt == jnp.float32 and (
+            n_entries >= (1 << 24) or n_fentries >= (1 << 24)
+        )
 
 
         ex = artifact.expansion
@@ -299,29 +317,50 @@ class TpuDecoder:
         if ms not in ("dense", "sort"):
             raise ValueError(f"unknown merge_strategy {cfg.merge_strategy!r}")
         self.merge_strategy = ms
-        self.scan_unroll = cfg.scan_unroll or (
-            8
-            if (jax.default_backend() != "cpu"
-                and self.K <= 1024 and self.E <= 2048)
-            else 1
-        )
-        # The device tables are passed as jit ARGUMENTS, not closed over:
-        # closed-over arrays are captured as lowering-time constants, and
-        # at WSJ scale the multi-GB entry table makes every (re)compile
-        # haul them through the lowering pipeline. Swapping self.dev for
-        # the argument pytree during trace keeps the whole engine
-        # attribute-style while the compiled program takes them as plain
-        # buffers.
-        def _scan_with_dev(dev, gmm_scores):
-            saved = self.dev
-            self.dev = dev
-            try:
-                return self._decode_scan(gmm_scores)
-            finally:
-                self.dev = saved
+        # auto unroll (accelerators): 8 at toy budgets; 4 at certified
+        # WSJ-order operating points (K<=2048/E<=2048 — measured +17% at
+        # K=1536/E=1920 and the 102.8x-RT point K=1024/E=1408, PERF.md
+        # R4.3b); 1 above that (big-budget steps are memory-bound and the
+        # unrolled graph multiplies an already-long compile, PERF.md §4)
+        # and on CPU (test compile time).
+        if cfg.scan_unroll:
+            self.scan_unroll = cfg.scan_unroll
+        elif jax.default_backend() == "cpu":
+            self.scan_unroll = 1
+        elif self.K <= 512 and self.E <= 1024:
+            self.scan_unroll = 8
+        elif self.K <= 2048 and self.E <= 2048:
+            self.scan_unroll = 4
+        else:
+            self.scan_unroll = 1
+        # Device-table binding (cfg.tables_as_args). Large tables are
+        # passed as jit ARGUMENTS: closed-over arrays are captured as
+        # lowering-time constants, and at WSJ scale the multi-GB entry
+        # table makes every (re)compile haul them through the lowering
+        # pipeline. Small tables are CLOSED OVER: constants enable folding
+        # and skip per-dispatch argument handling (the r4 all-args change
+        # cost 8% on the toy bench — A/B in PERF.md R5.1). "auto" switches
+        # at 128 MB total.
+        taa = cfg.tables_as_args
+        if taa == "auto":
+            nbytes = sum(v.size * v.dtype.itemsize for v in self.dev.values())
+            taa = "args" if nbytes > (128 << 20) else "const"
+        if taa not in ("args", "const"):
+            raise ValueError(f"unknown tables_as_args {cfg.tables_as_args!r}")
+        self.tables_as_args = taa
+        if taa == "args":
+            def _scan_with_dev(dev, gmm_scores):
+                saved = self.dev
+                self.dev = dev
+                try:
+                    return self._decode_scan(gmm_scores)
+                finally:
+                    self.dev = saved
 
-        jit_scan = jax.jit(_scan_with_dev)
-        self._decode_jit = lambda scores: jit_scan(self.dev, scores)
+            jit_scan = jax.jit(_scan_with_dev)
+            self._decode_jit = lambda scores: jit_scan(self.dev, scores)
+        else:
+            self._decode_jit = jax.jit(self._decode_scan)
 
     # ------------------------------------------------------------------
     # helpers
@@ -454,30 +493,35 @@ class TpuDecoder:
         # the packed source row at its (unique, ascending) start offset, then
         # forward-fill with a log-depth associative scan. This avoids both a
         # binary search and a gather — everything is vectorized.
-        # Entry-table BASES exceed 2^24 at WSJ scale (213M closure entries),
-        # so they ride the f32 payload split into 4096-sized hi/lo halves
-        # (each exactly representable) and are reassembled in int32.
+        # Entry-table BASES past 2^24 stop being exact in the f32 payload;
+        # at WSJ scale (213M closure entries) they ride split into
+        # 4096-sized hi/lo halves (each exactly representable) and are
+        # reassembled in int32. Below 2^24 the single column is exact
+        # (self._base_split, set in __init__).
+        if self._base_split:
+            base_cols = [(base // 4096).astype(dt), (base % 4096).astype(dt)]
+        else:
+            base_cols = [base.astype(dt)]
+        nb = len(base_cols)
         src_pack = jnp.stack(
-            [
-                src_score,
-                src_ac,
-                src_path.astype(dt),
-                (base // 4096).astype(dt),
-                (base % 4096).astype(dt),
-                fan.astype(dt),
-                offs.astype(dt),
-            ]
+            [src_score, src_ac, src_path.astype(dt)]
+            + base_cols
+            + [fan.astype(dt), offs.astype(dt)]
             + [x.astype(dt) for x in extra],
             axis=1,
         )
         rows, filled = _segment_broadcast(src_pack, offs, fan > 0, E)
         s_score, s_ac = rows[:, 0], rows[:, 1]
         s_path = rows[:, 2].astype(jnp.int32)
-        s_base = (
-            rows[:, 3].astype(jnp.int32) * 4096 + rows[:, 4].astype(jnp.int32)
-        )
-        s_fan = rows[:, 5].astype(jnp.int32)
-        s_offs = rows[:, 6].astype(jnp.int32)
+        if self._base_split:
+            s_base = (
+                rows[:, 3].astype(jnp.int32) * 4096
+                + rows[:, 4].astype(jnp.int32)
+            )
+        else:
+            s_base = rows[:, 3].astype(jnp.int32)
+        s_fan = rows[:, 3 + nb].astype(jnp.int32)
+        s_offs = rows[:, 4 + nb].astype(jnp.int32)
         within = e_idx - s_offs
         valid = filled & (e_idx < total) & (within < s_fan)
         ent = jnp.clip(s_base + within, 0, dev["ent_pack"].shape[0] - 1)
@@ -489,7 +533,7 @@ class TpuDecoder:
         return dict(
             arc=cand_arc, score=cand_score, ac=cand_ac,
             prev=s_path, seq=cand_seq, valid=valid & (cand_score > NEG / 2),
-            overflow=total > E, n_cand=total, extra=rows[:, 7:],
+            overflow=total > E, n_cand=total, extra=rows[:, 5 + nb:],
         )
 
     def _expand_finals(self, src_score, src_ac, src_path, base, fan, live,
@@ -508,34 +552,40 @@ class TpuDecoder:
         total = offs[-1] + fan[-1]
         e_idx = jnp.arange(F, dtype=jnp.int32)
         # hi/lo base split: see _expand
+        if self._base_split:
+            base_cols = [(base // 4096).astype(dt), (base % 4096).astype(dt)]
+        else:
+            base_cols = [base.astype(dt)]
+        nb = len(base_cols)
         src_pack = jnp.stack(
-            [
-                src_score,
-                src_ac,
-                src_path.astype(dt),
-                (base // 4096).astype(dt),
-                (base % 4096).astype(dt),
-                fan.astype(dt),
-                offs.astype(dt),
-            ]
+            [src_score, src_ac, src_path.astype(dt)]
+            + base_cols
+            + [fan.astype(dt), offs.astype(dt)]
             + [x.astype(dt) for x in extra],
             axis=1,
         )
         rows, filled = _segment_broadcast(src_pack, offs, fan > 0, F)
-        within = e_idx - rows[:, 6].astype(jnp.int32)
-        valid = filled & (e_idx < total) & (within < rows[:, 5].astype(jnp.int32))
-        f_base_r = (
-            rows[:, 3].astype(jnp.int32) * 4096 + rows[:, 4].astype(jnp.int32)
+        within = e_idx - rows[:, 4 + nb].astype(jnp.int32)
+        valid = (
+            filled & (e_idx < total)
+            & (within < rows[:, 3 + nb].astype(jnp.int32))
         )
+        if self._base_split:
+            f_base_r = (
+                rows[:, 3].astype(jnp.int32) * 4096
+                + rows[:, 4].astype(jnp.int32)
+            )
+        else:
+            f_base_r = rows[:, 3].astype(jnp.int32)
         ent = jnp.clip(f_base_r + within, 0, dev["f_pack"].shape[0] - 1)
         frow = dev["f_pack"][ent]  # (F, 4)
         sc = jnp.where(valid, rows[:, 0] + frow[:, 0], NEG)
         ac = rows[:, 1] + frow[:, 2]
         i = jnp.argmax(sc)
         better = sc[i] > best["score"]
-        # extras are packed after the 7 base source columns; callers always
+        # extras are packed after the base source columns; callers always
         # pass the source arc first (see _frame_step/_init_carry)
-        src = rows[:, 7].astype(jnp.int32)
+        src = rows[:, 5 + nb].astype(jnp.int32)
         new = {
             "score": jnp.where(better, sc[i], best["score"]),
             "ac": jnp.where(better, ac[i], best["ac"]),
@@ -552,7 +602,7 @@ class TpuDecoder:
             "seq": frow[:, 3].astype(jnp.int32),
             "src": src,
             "valid": valid,
-            "extra": rows[:, 7:],
+            "extra": rows[:, 5 + nb:],
         }
         return new, total > F, records
 

@@ -124,7 +124,8 @@ def gen_task_files(cache, n_words, n_bigrams, n_phones, seed):
     return phones
 
 
-def build_models(cache, phones, n_emit, n_comps, vec_size, center_scale, seed):
+def build_models(cache, phones, n_emit, n_comps, vec_size, center_scale, seed,
+                 fname="models.npz"):
     from juicer_tpu.am import AcousticModelSet
     from juicer_tpu.am.mmf import MmfDef, MmfHmm, MmfMixture, MmfState, MmfTransMat
 
@@ -152,8 +153,101 @@ def build_models(cache, phones, n_emit, n_comps, vec_size, center_scale, seed):
         ]
         d.hmms.append(MmfHmm(name, n, states, MmfTransMat(None, n, probs)))
     ms = AcousticModelSet.from_def(d)
-    ms.save_npz(os.path.join(cache, "models.npz"))
+    ms.save_npz(os.path.join(cache, fname))
     return ms
+
+
+def ensure_models(cache, center_scale=1.2, n_emit=3, n_comps=8, vec_size=39,
+                  seed=7):
+    """Models at an alternate GMM separability, sharing the cached task's
+    topology/transitions (so the cached network + artifact stay valid —
+    `center_scale` only scales how far apart the per-phone GMM centers
+    are drawn; lower = more confusable = harder acoustics, used for the
+    accuracy-degradation curve VERDICT r4 item 2)."""
+    from juicer_tpu.am import AcousticModelSet
+
+    if abs(center_scale - 1.2) < 1e-9:
+        return AcousticModelSet.load_npz(os.path.join(cache, "models.npz"))
+    fname = f"models_cs{center_scale:g}.npz"
+    path = os.path.join(cache, fname)
+    if os.path.exists(path):
+        return AcousticModelSet.load_npz(path)
+    phones = []
+    with open(os.path.join(cache, "phones.lst")) as fd:
+        for line in fd:
+            p = line.strip()
+            if p and p not in ("sil", "sp"):
+                phones.append(p)
+    return build_models(cache, phones, n_emit, n_comps, vec_size,
+                        center_scale, seed, fname=fname)
+
+
+def ensure_artifact(cache, net, models, verbose=True):
+    """Load the derived decode artifact, rebuilding the npz cache when
+    missing (it is derivable from clg.npz + models.npz; ~20 min CPU at
+    20k words — untracked in git by design)."""
+    from juicer_tpu.decoder.artifact import DecoderArtifact
+
+    t0 = time.time()
+    art_npz = os.path.join(cache, "artifact.npz")
+    if os.path.exists(art_npz):
+        art = DecoderArtifact.load_npz(art_npz, net, models)
+        if verbose:
+            print(f"[artifact] {art} (cached, {time.time()-t0:.1f}s)",
+                  flush=True)
+    else:
+        art = DecoderArtifact(net, models)
+        art.save_npz(art_npz)
+        if verbose:
+            print(f"[artifact] {art} ({time.time()-t0:.1f}s)", flush=True)
+    return art
+
+
+def steady_bench(art, cfg, db, batch_sizes, unroll=0):
+    """Steady-state batched throughput at `cfg` (diagnostics off). `db`
+    is a (B, T, n_gmms) score batch; each requested batch size tiles it.
+    Returns {Bs: {"fps", "overflow", "compile_s"}} — overflow is counted
+    from the benched program itself so an uncertified batch row can't
+    pass silently (advisor r4)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from juicer_tpu.decoder.tpu_core import TpuDecoder
+
+    fast = TpuDecoder(art, dataclasses.replace(
+        cfg, emit_diagnostics=False, scan_unroll=unroll))
+
+    def one(dev, s):
+        saved = fast.dev
+        fast.dev = dev
+        try:
+            carry, ys, rec0 = fast._decode_scan(s.astype(fast._dt))
+        finally:
+            fast.dev = saved
+        return carry["best_final"]["score"], carry["overflow"]
+
+    fj = jax.jit(jax.vmap(one, in_axes=(None, 0)))
+    B, Tmax = db.shape[0], db.shape[1]
+    out = {}
+    for Bs in batch_sizes:
+        reps = (Bs + B - 1) // B
+        dbs = jnp.concatenate([db] * reps, axis=0)[:Bs]
+        t0 = time.time()
+        sc, ov = fj(fast.dev, dbs)
+        sc.block_until_ready()
+        compile_s = round(time.time() - t0, 1)
+        t0 = time.time()
+        sc, ov = fj(fast.dev, dbs)
+        sc.block_until_ready()
+        dt = time.time() - t0
+        out[Bs] = {
+            "fps": round(Bs * Tmax / dt, 1),
+            "overflow": int(np.sum(np.asarray(ov))),
+            "compile_s": compile_s,
+        }
+    return out
 
 
 def ensure_task(cache, n_words, n_bigrams, n_phones=45, n_emit=3, n_comps=8,
@@ -329,7 +423,6 @@ def main():
     import jax.numpy as jnp
 
     from juicer_tpu.decoder.autotune import autotune_budgets
-    from juicer_tpu.decoder.artifact import DecoderArtifact
     from juicer_tpu.decoder.tpu_core import TpuDecoder, TpuDecoderConfig
     from juicer_tpu.decoder.ref_core import RefDecoder
     from juicer_tpu.ops.gmm import make_gmm_scorer
@@ -340,15 +433,7 @@ def main():
     if args.build_only:
         return
 
-    t0 = time.time()
-    art_npz = os.path.join(cache, "artifact.npz")
-    if os.path.exists(art_npz):
-        art = DecoderArtifact.load_npz(art_npz, net, models)
-        print(f"[artifact] {art} (cached, {time.time()-t0:.1f}s)", flush=True)
-    else:
-        art = DecoderArtifact(net, models)
-        art.save_npz(art_npz)
-        print(f"[artifact] {art} ({time.time()-t0:.1f}s)", flush=True)
+    art = ensure_artifact(cache, net, models)
 
     # utterances (plus two naturally SHORT ones for oracle parity: they
     # must end near </s> so the final state is reachable and words exist)
@@ -449,33 +534,12 @@ def main():
         np.pad(s, ((0, Tmax - s.shape[0]), (0, 0)), mode="edge")
         for s in scores[:B]
     ])
-    fast = TpuDecoder(art, dataclasses.replace(
-        tuned, emit_diagnostics=False, scan_unroll=args.unroll))
-
-    def one(dev, s):
-        saved = fast.dev
-        fast.dev = dev
-        try:
-            carry, ys, rec0 = fast._decode_scan(s.astype(fast._dt))
-        finally:
-            fast.dev = saved
-        return carry["best_final"]["score"], carry["overflow"]
-
-    fj = jax.jit(jax.vmap(one, in_axes=(None, 0)))
-    f = lambda db: fj(fast.dev, db)
     db = jnp.asarray(batch_sc, jnp.float32)
-    t0 = time.time()
-    sc_out, ov = f(db)
-    sc_out.block_until_ready()
-    print(f"[bench] compile+run {time.time()-t0:.1f}s "
-          f"(overflow {int(np.sum(np.asarray(ov)))}/{B})", flush=True)
-    t0 = time.time()
-    sc_out, ov = f(db)
-    sc_out.block_until_ready()
-    dt = time.time() - t0
-    fps = B * Tmax / dt
-    print(f"[bench] steady batch={B}: {dt:.2f}s = {fps:.0f} frames/s/chip = "
-          f"{fps/100:.1f}x RT ({dt/Tmax*1e3:.2f} ms/frame-row)", flush=True)
+    sb = steady_bench(art, tuned, db, [B], unroll=args.unroll)[B]
+    fps = sb["fps"]
+    print(f"[bench] steady batch={B}: {fps:.0f} frames/s/chip = "
+          f"{fps/100:.1f}x RT (compile {sb['compile_s']}s, overflow "
+          f"{sb['overflow']}/{B})", flush=True)
 
     if not args.no_parity:
         # oracle parity on the two held-out (short) utterances. The f64
