@@ -51,4 +51,16 @@ $CXX $FLAGS -DUSE_DOUBLE_SCORE -o "$OUT/decoder_oracle" \
     "$REF/LogFile.cpp" "$REF/string_stuff.cpp" \
     "$HERE/shim/ScriptedModels.cpp"
 
-echo "built: $OUT/gramgen $OUT/lexgen $OUT/cdgen $OUT/decoder_oracle"
+# lattice_oracle: the real BASIC decoder core (WFSTDecoder.cpp) with
+# doLatticeGeneration=true, for lattice-content conformance
+# (tests/test_ref_lattice.py). Same scripted-score shim; WFSTModel.cpp
+# provides WFSTModelPool.
+$CXX $FLAGS -DUSE_DOUBLE_SCORE -o "$OUT/lattice_oracle" \
+    "$HERE/lattice_oracle.cpp" \
+    "$REF/WFSTDecoder.cpp" "$REF/WFSTModel.cpp" "$REF/WFSTNetwork.cpp" \
+    "$REF/DecHypHistPool.cpp" "$REF/BlockMemPool.cpp" \
+    "$REF/Histogram.cpp" "$REF/WFSTLattice.cpp" \
+    "$REF/LogFile.cpp" "$REF/string_stuff.cpp" \
+    "$HERE/shim/ScriptedModels.cpp"
+
+echo "built: $OUT/gramgen $OUT/lexgen $OUT/cdgen $OUT/decoder_oracle $OUT/lattice_oracle"

@@ -174,22 +174,36 @@ const char* ScriptedModels::getHMMName(int hmmInd)
     return buf;
 }
 
-int ScriptedModels::getNumSuccessors(int, int)
+/* Successor lists, derived from the dense trP exactly as HTK order
+ * lists them (ascending state index; HTKModels keeps the MMF's own
+ * lists, which are ascending, and createTrPandSEIndex round-trips
+ * them through trP). The basic core (WFSTDecoder/WFSTModel) iterates
+ * these; the Lite core uses trP/SEIndex instead. */
+int ScriptedModels::getNumSuccessors(int hmmInd, int stateInd)
 {
-    error("ScriptedModels::getNumSuccessors not supported");
+    int n = nStates_[hmmInd];
+    int cnt = 0;
+    for (int k = 0; k < n; ++k)
+        if (trP_[hmmInd][stateInd][k] > LOG_ZERO)
+            ++cnt;
+    return cnt;
+}
+
+int ScriptedModels::getSuccessor(int hmmInd, int stateInd, int sucInd)
+{
+    int n = nStates_[hmmInd];
+    int cnt = 0;
+    for (int k = 0; k < n; ++k)
+        if (trP_[hmmInd][stateInd][k] > LOG_ZERO)
+            if (cnt++ == sucInd)
+                return k;
+    error("ScriptedModels::getSuccessor out of range");
     return 0;
 }
 
-int ScriptedModels::getSuccessor(int, int, int)
+real ScriptedModels::getSuccessorLogProb(int hmmInd, int stateInd, int sucInd)
 {
-    error("ScriptedModels::getSuccessor not supported");
-    return 0;
-}
-
-real ScriptedModels::getSuccessorLogProb(int, int, int)
-{
-    error("ScriptedModels::getSuccessorLogProb not supported");
-    return LOG_ZERO;
+    return trP_[hmmInd][stateInd][getSuccessor(hmmInd, stateInd, sucInd)];
 }
 
 real ScriptedModels::getTeeLogProb(int hmmInd)
