@@ -39,9 +39,11 @@ WSJ_CACHE = os.path.join(ROOT, "scripts", "_wsj_cache_20k")
 
 # The certified operating point (PERF.md R4.3b): 100% word accuracy on
 # the generating transcript, zero overflow over the 8-utterance eval
-# batch, autotuned budgets at margin 1.4.
+# batch, autotuned budgets at margin 1.4. The 8 distinct utterances are
+# tiled to the bench batch (R5.2 A/B: tiled-8 at B=16/unroll 8 measured
+# best, 10,290 f/s; 16 distinct utts at unroll 4 measured 9,452).
 WSJ_POINT = dict(beam=70.0, end_beam=50.0, maxhyps=500, K=1024, E=1408,
-                 unroll=4, batch=16, frames=1000)
+                 unroll=8, batch=16, n_utts=8, frames=1000)
 
 
 def run_wsj():
@@ -63,7 +65,7 @@ def run_wsj():
         WSJ_CACHE, models,
         (os.path.join(WSJ_CACHE, "phones.lst"),
          os.path.join(WSJ_CACHE, "lex.dict")),
-        n_utts=p["batch"], target_frames=p["frames"], seed=11)
+        n_utts=p["n_utts"], target_frames=p["frames"], seed=11)
     scorer = make_gmm_scorer(models.flat_params())
     scores = [np.asarray(scorer(jnp.asarray(f))) for _, f in utts]
 
@@ -77,10 +79,11 @@ def run_wsj():
 
     B = p["batch"]
     Tmax = max(s.shape[0] for s in scores)
-    batch_sc = np.stack([
+    padded = [
         np.pad(s, ((0, Tmax - s.shape[0]), (0, 0)), mode="edge")
         for s in scores
-    ])
+    ]
+    batch_sc = np.stack([padded[i % len(padded)] for i in range(B)])
 
     def one(dev, s):
         saved = dec.dev

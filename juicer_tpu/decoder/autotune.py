@@ -37,6 +37,7 @@ def autotune_budgets(
     margin: float = 1.5,
     max_rounds: int = 6,
     verify: bool = True,
+    g_network=None,
 ) -> TpuDecoderConfig:
     """Pick minimal safe (max_insts, expand_budget) for this workload.
 
@@ -52,7 +53,7 @@ def autotune_budgets(
 
     ref_results = None
     for _ in range(max_rounds):
-        dec = TpuDecoder(artifact, probe)
+        dec = TpuDecoder(artifact, probe, g_network=g_network)
         results = [dec.decode_scores(s) for s in score_samples]
         if not any(r.overflow for r in results):
             ref_results = results
@@ -88,7 +89,8 @@ def autotune_budgets(
         )
 
     if verify:
-        vdec = TpuDecoder(artifact, dataclasses.replace(tuned, emit_diagnostics=True))
+        vdec = TpuDecoder(artifact, dataclasses.replace(tuned, emit_diagnostics=True),
+                          g_network=g_network)
         for s, ref in zip(score_samples, ref_results):
             got = vdec.decode_scores(s)
             if got.overflow:

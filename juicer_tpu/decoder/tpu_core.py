@@ -17,9 +17,11 @@ The `WFSTDecoderLite` token-passing loop re-designed for XLA (SURVEY.md §7):
   - hypothesis recombination -> per-(arc)-group argmax via a dense (E, E)
     boolean compare at original candidate positions (payloads never move;
     no bitonic network in the frame step at all);
-  - histogram pruning (`Histogram::calcThresh`) -> exact k-th-best
-    threshold via top_k (strictly tighter than the reference's
-    integer-binned approximation);
+  - histogram pruning (`Histogram::calcThresh`) -> the reference's
+    integer-binned threshold reproduced exactly as one fused
+    compare-reduce (default, `histogram_mode="binned"`); an exact
+    k-th-best top_k variant (strictly tighter) as the TPU-native
+    option;
   - refcounted `Path` records + GC -> an append-only (T, K) traceback
     arena emitted from `lax.scan`; only merge-winning tokens write
     records, so the arena never needs collection.
@@ -1001,7 +1003,7 @@ class TpuDecoder:
         # exactly this much, so lm = score - ac + N_t at any record point
         norm = carry["norm"] + normalise
 
-        # emit threshold (exact top-k "histogram" ∧ main beam)
+        # emit threshold (binned/exact histogram ∧ main beam)
         if cfg.max_emit_hyps > 0:
             thresh = carry["kth_emit"] - normalise
             if cfg.emit_prune_win > 0.0:

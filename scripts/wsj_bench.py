@@ -203,12 +203,13 @@ def ensure_artifact(cache, net, models, verbose=True):
     return art
 
 
-def steady_bench(art, cfg, db, batch_sizes, unroll=0):
+def steady_bench(art, cfg, db, batch_sizes, unroll=0, g_network=None):
     """Steady-state batched throughput at `cfg` (diagnostics off). `db`
     is a (B, T, n_gmms) score batch; each requested batch size tiles it.
     Returns {Bs: {"fps", "overflow", "compile_s"}} — overflow is counted
     from the benched program itself so an uncertified batch row can't
-    pass silently (advisor r4)."""
+    pass silently (advisor r4). Pass `g_network` to bench the
+    on-the-fly (CL ∘ G) decoder."""
     import dataclasses
 
     import jax
@@ -217,7 +218,8 @@ def steady_bench(art, cfg, db, batch_sizes, unroll=0):
     from juicer_tpu.decoder.tpu_core import TpuDecoder
 
     fast = TpuDecoder(art, dataclasses.replace(
-        cfg, emit_diagnostics=False, scan_unroll=unroll))
+        cfg, emit_diagnostics=False, scan_unroll=unroll),
+        g_network=g_network)
 
     def one(dev, s):
         saved = fast.dev
