@@ -164,3 +164,103 @@ def build_lattice(
 def write_lattice(lattice: Fst, path: str) -> None:
     """FSM-format lattice output (`writeLatticeFSM`)."""
     write_fsm(lattice, path)
+
+
+def _topo_order(n_states: int, arc_src, arc_dst) -> np.ndarray:
+    """Topological order of an acyclic lattice (Kahn). Lattice states are
+    time-layered so cycles cannot occur; raises if one does."""
+    indeg = np.zeros(n_states, dtype=np.int64)
+    np.add.at(indeg, arc_dst, 1)
+    out = {}
+    for i in range(len(arc_src)):
+        out.setdefault(int(arc_src[i]), []).append(i)
+    stack = list(np.nonzero(indeg == 0)[0])
+    order = []
+    while stack:
+        s = int(stack.pop())
+        order.append(s)
+        for i in out.get(s, ()):
+            d = int(arc_dst[i])
+            indeg[d] -= 1
+            if indeg[d] == 0:
+                stack.append(d)
+    if len(order) != n_states:
+        raise ValueError("lattice has a cycle")
+    return np.asarray(order)
+
+
+def shortest_path(lattice: Fst) -> tuple[float, list[int]]:
+    """Tropical best path: returns (cost, output label sequence). The
+    verification counterpart of the decoder's 1-best: on a correct
+    lattice these equal -DecodeResult.score and DecodeResult.words."""
+    src = np.asarray(lattice.arc_src)
+    dst = np.asarray(lattice.arc_dst)
+    ol = np.asarray(lattice.arc_olabel)
+    w = np.asarray(lattice.arc_weight, dtype=np.float64)
+    n = lattice.num_states
+    INF = np.inf
+    dist = np.full(n, INF)
+    back = np.full(n, -1, dtype=np.int64)
+    dist[lattice.start] = 0.0
+    arcs_from = {}
+    for i in range(len(src)):
+        arcs_from.setdefault(int(src[i]), []).append(i)
+    for s in _topo_order(n, src, dst):
+        if dist[s] == INF:
+            continue
+        for i in arcs_from.get(int(s), ()):
+            nd = dist[s] + w[i]
+            if nd < dist[dst[i]]:
+                dist[dst[i]] = nd
+                back[dst[i]] = i
+    best_s, best_c = -1, INF
+    for s, fw in lattice.finals.items():
+        c = dist[s] + fw
+        if c < best_c:
+            best_s, best_c = s, c
+    labels: list[int] = []
+    s = best_s
+    while s >= 0 and back[s] >= 0:
+        i = int(back[s])
+        if ol[i] != EPSILON:
+            labels.append(int(ol[i]))
+        s = int(src[i])
+    return float(best_c), labels[::-1]
+
+
+def contains_cost(lattice: Fst, labels: list[int]) -> float:
+    """Best path cost of exactly `labels` through the lattice (inf if the
+    sequence is not encoded) — the oracle-coverage probe: a lattice
+    covers the reference transcript iff this is finite."""
+    src = np.asarray(lattice.arc_src)
+    dst = np.asarray(lattice.arc_dst)
+    ol = np.asarray(lattice.arc_olabel)
+    w = np.asarray(lattice.arc_weight, dtype=np.float64)
+    n = lattice.num_states
+    INF = np.inf
+    L = len(labels)
+    # dist[s, k] = best cost reaching state s having consumed labels[:k]
+    dist = np.full((n, L + 1), INF)
+    dist[lattice.start, 0] = 0.0
+    arcs_from = {}
+    for i in range(len(src)):
+        arcs_from.setdefault(int(src[i]), []).append(i)
+    for s in _topo_order(n, src, dst):
+        row = dist[int(s)]
+        if not np.isfinite(row).any():
+            continue
+        for i in arcs_from.get(int(s), ()):
+            d = int(dst[i])
+            if ol[i] == EPSILON:
+                np.minimum(dist[d], row + w[i], out=dist[d])
+            else:
+                ks = np.nonzero(np.isfinite(row[:L]))[0]
+                for k in ks:
+                    if labels[k] == int(ol[i]):
+                        nd = row[k] + w[i]
+                        if nd < dist[d, k + 1]:
+                            dist[d, k + 1] = nd
+    best = INF
+    for s, fw in lattice.finals.items():
+        best = min(best, dist[s, L] + fw)
+    return float(best)

@@ -346,7 +346,9 @@ class TpuDecoder:
         taa = cfg.tables_as_args
         if taa == "auto":
             nbytes = sum(v.size * v.dtype.itemsize for v in self.dev.values())
-            taa = "args" if nbytes > (128 << 20) else "const"
+            # OTF always uses args: XLA constant-folds reduce-windows over
+            # the closed-over padded G rows (>8s/instruction at 2k words)
+            taa = ("args" if self.otf or nbytes > (128 << 20) else "const")
         if taa not in ("args", "const"):
             raise ValueError(f"unknown tables_as_args {cfg.tables_as_args!r}")
         self.tables_as_args = taa

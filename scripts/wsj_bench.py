@@ -400,6 +400,11 @@ def main():
                     help="merge_strategy: auto|dense|sort")
     ap.add_argument("--frames", type=int, default=1000)
     ap.add_argument("--cache", type=str, default=None)
+    ap.add_argument("--lattice", action="store_true",
+                    help="generate word lattices at the tuned point for "
+                         "every eval utterance: record counts, host "
+                         "assembly time, size, best-path==1-best, and "
+                         "transcript (oracle) coverage")
     ap.add_argument("--no-parity", action="store_true")
     ap.add_argument("--parity-only", action="store_true",
                     help="run ONLY the f64 oracle parity check (separate "
@@ -528,6 +533,68 @@ def main():
     print(f"[accuracy] {summ}; "
           f"avg active {avg_act:.0f}, peak {max_act}, overflow "
           f"{sum(r.overflow for r in results)}/{len(results)}", flush=True)
+
+    if args.lattice:
+        # reference-scale lattice generation (VERDICT r4 item 4a): the
+        # (T, E) edge-record stream at certified budgets, assembled on
+        # the host; best path must reproduce the 1-best and the lattice
+        # must contain the generating transcript (oracle coverage)
+        from juicer_tpu.decoder.lattice import (build_lattice,
+                                                contains_cost,
+                                                shortest_path)
+
+        B = args.batch
+        lat_dec = TpuDecoder(art, dataclasses.replace(
+            tuned, gen_lattice=True, emit_diagnostics=False))
+        tot = dict(events=0, edges=0, states=0, arcs=0, dev_s=0.0,
+                   host_s=0.0, covered=0, best_ok=0)
+        for i, ((words, _), sc) in enumerate(zip(utts[:B], scores[:B])):
+            # edge-pad T to a 128 bucket so the 8 utterances share ~2
+            # compiled programs (the padded tail repeats the closing sil
+            # frames; the lattice is of the padded utterance, checked
+            # self-consistently below)
+            T_pad = -(-sc.shape[0] // 128) * 128
+            sc = np.pad(sc, ((0, T_pad - sc.shape[0]), (0, 0)), mode="edge")
+            t0 = time.time()
+            dev_sc = jnp.asarray(sc, lat_dec._dt)
+            carry, ys, rec0 = lat_dec._decode_jit(dev_sc)
+            jax.block_until_ready(ys)
+            t_dev = time.time() - t0
+            T = sc.shape[0]
+            res = lat_dec._traceback(carry, ys, rec0, T)
+            t0 = time.time()
+            lat = build_lattice(art, ys, rec0, T)
+            t_host = time.time() - t0
+            n_ev = int(np.sum(np.asarray(rec0["ev_arc"]) >= 0)) + int(
+                np.sum(np.asarray(ys["ev_arc"]) >= 0))
+            n_edge = int(np.sum(np.asarray(ys["lat_valid"])))
+            cost, labs = shortest_path(lat)
+            best_ok = labs == list(res.words) and abs(-cost - res.score) < 1e-2
+            ref_seq = ([vocab.sent_start_index + 1]
+                       + [label_of[w] for w in words]
+                       + [vocab.sent_end_index + 1])
+            ccost = contains_cost(lat, ref_seq)
+            covered = np.isfinite(ccost)
+            print(f"[lattice] utt {i}: T={T} events={n_ev} edges={n_edge} "
+                  f"-> {lat.num_states} states / {lat.num_arcs} arcs; "
+                  f"device {t_dev:.1f}s, host assembly {t_host:.1f}s; "
+                  f"best-path {'OK' if best_ok else 'MISMATCH'} "
+                  f"(cost {cost:.1f} vs 1-best {-res.score:.1f}); "
+                  f"transcript {'covered (cost %.1f)' % ccost if covered else 'NOT COVERED'}",
+                  flush=True)
+            tot["events"] += n_ev
+            tot["edges"] += n_edge
+            tot["states"] += lat.num_states
+            tot["arcs"] += lat.num_arcs
+            tot["dev_s"] += t_dev
+            tot["host_s"] += t_host
+            tot["covered"] += int(covered)
+            tot["best_ok"] += int(best_ok)
+        print(f"[lattice] TOTAL {B} utts: {tot['events']} events, "
+              f"{tot['edges']} edges, {tot['states']} states / "
+              f"{tot['arcs']} arcs; device {tot['dev_s']:.1f}s, host "
+              f"{tot['host_s']:.1f}s; best-path {tot['best_ok']}/{B}, "
+              f"coverage {tot['covered']}/{B}", flush=True)
 
     # steady-state batched throughput (pad to common length)
     B = args.batch

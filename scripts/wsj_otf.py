@@ -55,6 +55,15 @@ def ensure_cl(cache):
     t0 = time.time()
     lexgen = LexGen(lexicon)
     L = lexgen.build(output_aux_phones=True)
+    # det(L) is what makes OTF scale: the raw lexicon FSM is one chain
+    # per word from the root (word label on the first arc, mirroring the
+    # reference lexgen), so a word-end closure would fan out to every
+    # word's first arc (max_fanout ≈ |vocab|, E budgets ~20k/frame at
+    # reference scale). Gallic-residual determinization shares prefixes
+    # AND delays each word label until its path is disambiguated, so the
+    # loop-state fanout drops to ~|phones| and word labels cross
+    # mid-word where the pronunciation becomes unique.
+    L = algos.minimize(algos.determinize(algos.arcsort(L)))
     phones = [p for p in lexicon.phone_set.phones]
     lookup = CDPhoneLookup(lexicon.phone_set)
     lookup.add_phones(phones)
@@ -63,8 +72,8 @@ def ensure_cl(cache):
               n_aux_syms=lexgen.n_aux).build()
     cl = algos.compose(C, algos.closure(algos.arcsort(L)))
     cl.isyms, cl.osyms = C.isyms, L.osyms
-    print(f"[cl] C∘closure(L): {cl.num_states} states {cl.num_arcs} arcs "
-          f"({time.time()-t0:.1f}s)", flush=True)
+    print(f"[cl] C∘closure(det(L)): {cl.num_states} states {cl.num_arcs} "
+          f"arcs ({time.time()-t0:.1f}s)", flush=True)
     net = DecoderNetwork(cl, C.isyms, L.osyms, remove_aux="input")
     net.save_npz(cl_npz)
     return net, lexicon
