@@ -38,6 +38,7 @@ def autotune_budgets(
     max_rounds: int = 6,
     verify: bool = True,
     g_network=None,
+    verbose: bool = False,
 ) -> TpuDecoderConfig:
     """Pick minimal safe (max_insts, expand_budget) for this workload.
 
@@ -52,9 +53,15 @@ def autotune_budgets(
     probe = dataclasses.replace(base, emit_diagnostics=True)
 
     ref_results = None
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
         dec = TpuDecoder(artifact, probe, g_network=g_network)
         results = [dec.decode_scores(s) for s in score_samples]
+        if verbose:
+            print(f"[autotune] probe K={probe.max_insts} "
+                  f"E={probe.expand_budget}: overflow "
+                  f"{sum(r.overflow for r in results)}/{len(results)}, "
+                  f"peak {max(r.max_active for r in results)}/"
+                  f"{max(r.max_cand for r in results)}", flush=True)
         if not any(r.overflow for r in results):
             ref_results = results
             break

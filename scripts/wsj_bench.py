@@ -496,7 +496,7 @@ def main():
     t0 = time.time()
     # certify over the WHOLE batch: 2-sample certification left 1/8
     # utterances overflowing on the first full run (PERF.md R4.3)
-    tuned = autotune_budgets(art, scores[: args.batch], base, margin=1.4)
+    tuned = autotune_budgets(art, scores[: args.batch], base, margin=1.4, verbose=True)
     print(f"[autotune] K={tuned.max_insts} E={tuned.expand_budget} "
           f"({time.time()-t0:.1f}s)", flush=True)
 

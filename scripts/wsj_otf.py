@@ -168,7 +168,7 @@ def main():
     )
     t0 = time.time()
     tuned = autotune_budgets(art, scores, base, margin=1.4,
-                             g_network=g_net)
+                             g_network=g_net, verbose=True)
     print(f"[autotune] K={tuned.max_insts} E={tuned.expand_budget} "
           f"({time.time()-t0:.1f}s)", flush=True)
 

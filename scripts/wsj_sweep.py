@@ -134,7 +134,7 @@ def main():
         t0 = time.time()
         # certify over the WHOLE eval batch (2-sample certification left
         # 1/8 utterances overflowing on the first full run, PERF.md R4.3)
-        tuned = autotune_budgets(art, scores[:B], base, margin=1.4)
+        tuned = autotune_budgets(art, scores[:B], base, margin=1.4, verbose=True)
         t_tune = time.time() - t0
         print(f"[{spec}] autotune K={tuned.max_insts} E={tuned.expand_budget}"
               f" ({t_tune:.0f}s)", flush=True)
