@@ -133,8 +133,18 @@ def main():
         )
         t0 = time.time()
         # certify over the WHOLE eval batch (2-sample certification left
-        # 1/8 utterances overflowing on the first full run, PERF.md R4.3)
-        tuned = autotune_budgets(art, scores[:B], base, margin=1.4, verbose=True)
+        # 1/8 utterances overflowing on the first full run, PERF.md R4.3).
+        # A setting whose certification fails (e.g. the f32 record-id
+        # ceiling T*K >= 2^24 on a wide point over confusable acoustics)
+        # is recorded as such instead of killing the whole sweep.
+        try:
+            tuned = autotune_budgets(art, scores[:B], base, margin=1.4,
+                                     verbose=True)
+        except Exception as e:
+            print(f"[{spec}] autotune FAILED: {e}", flush=True)
+            rows.append({"beam": beam, "end_beam": end, "maxhyps": int(mh),
+                         "error": str(e)})
+            continue
         t_tune = time.time() - t0
         print(f"[{spec}] autotune K={tuned.max_insts} E={tuned.expand_budget}"
               f" ({t_tune:.0f}s)", flush=True)
@@ -175,12 +185,16 @@ def main():
             print(f"[{spec}] oracle parity {parity_ok}/{len(par_utts)}",
                   flush=True)
 
-        fps_of, fps = {}, None
+        fps_of, fps, bench = {}, None, {}
         if not args.no_bench:
-            bench = steady_bench(
-                art, tuned, db,
-                [int(x) for x in args.batches.split(",")],
-                unroll=args.unroll)
+            try:
+                bench = steady_bench(
+                    art, tuned, db,
+                    [int(x) for x in args.batches.split(",")],
+                    unroll=args.unroll)
+            except Exception as e:  # e.g. OOM at wide certified budgets
+                print(f"[{spec}] bench FAILED: {e}", flush=True)
+                bench = {}
             for Bs, rec in bench.items():
                 print(f"[{spec}] B={Bs}: {rec['fps']:.0f} f/s "
                       f"(compile {rec['compile_s']}s, overflow "
