@@ -182,6 +182,30 @@ def ensure_models(cache, center_scale=1.2, n_emit=3, n_comps=8, vec_size=39,
                         center_scale, seed, fname=fname)
 
 
+def mismatch_models(models, sigma, seed=23):
+    """Train/test mismatch: a DECODING model set whose GMM means are
+    perturbed by sigma·N(0,1) relative to the generating models (mixture
+    stds are ~1.0). Features synthesized from the clean models then score
+    noisily under these, so the true path is no longer always locally
+    best and pruning genuinely costs words — the regime the reference's
+    WSJ accuracy-vs-speed study lives in (juicer_userman.tex:606-673);
+    with matched models the synthetic true path is essentially
+    unbeatable and every beam measures 100 % (PERF.md R5.4). Topology
+    and transitions are untouched, so networks and artifacts stay
+    valid."""
+    import copy
+
+    if sigma <= 0:
+        return models
+    rng = np.random.default_rng(seed)
+    m2 = copy.copy(models)
+    m2.gmm_means = [
+        np.asarray(mu) + rng.normal(scale=sigma, size=np.shape(mu))
+        for mu in models.gmm_means
+    ]
+    return m2
+
+
 def ensure_artifact(cache, net, models, verbose=True):
     """Load the derived decode artifact, rebuilding the npz cache when
     missing (it is derivable from clg.npz + models.npz; ~20 min CPU at

@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from wsj_bench import (ensure_artifact, ensure_models, ensure_task,  # noqa: E402
-                       sample_utterances, steady_bench)
+                       mismatch_models, sample_utterances, steady_bench)
 
 
 def main():
@@ -59,6 +59,10 @@ def main():
     ap.add_argument("--center-scale", type=float, default=1.2,
                     help="GMM center spread; lower = harder acoustics "
                          "(task models are built at 1.2)")
+    ap.add_argument("--mismatch", type=float, default=0.0,
+                    help="decode-side GMM mean perturbation sigma "
+                         "(train/test mismatch; features stay generated "
+                         "from the clean models)")
     ap.add_argument("--parity", type=int, default=0,
                     help="per-setting oracle parity on N held-out short "
                          "utterances (f32 engine words vs f64 oracle)")
@@ -85,11 +89,13 @@ def main():
 
     net, task_models = ensure_task(cache, args.words, args.bigrams)
     models = ensure_models(cache, args.center_scale)
+    dec_models = mismatch_models(models, args.mismatch)
     # the artifact depends only on network + model topology/transitions,
     # both invariant across center_scale
     art = ensure_artifact(cache, net, task_models)
     print(f"[net] {net.n_arcs} arcs; artifact {art}; "
-          f"center_scale {args.center_scale}", flush=True)
+          f"center_scale {args.center_scale} mismatch {args.mismatch}",
+          flush=True)
 
     lex_files = (os.path.join(cache, "phones.lst"),
                  os.path.join(cache, "lex.dict"))
@@ -100,7 +106,7 @@ def main():
         par_utts = sample_utterances(cache, models, lex_files,
                                      n_utts=args.parity, target_frames=150,
                                      seed=args.seed + 1)
-    scorer = make_gmm_scorer(models.flat_params())
+    scorer = make_gmm_scorer(dec_models.flat_params())
     scores = [np.asarray(scorer(jnp.asarray(f))) for _, f in utts]
     par_scores = [np.asarray(scorer(jnp.asarray(f))) for _, f in par_utts]
     n_ref_words = sum(len(w) for w, _ in utts)
@@ -168,7 +174,7 @@ def main():
             for (words, _), sc in zip(par_utts, par_scores):
                 r_tpu = dec.decode_scores(sc)
                 ref = RefDecoder(
-                    net, models, phone_start_prune_win=0.0,
+                    net, dec_models, phone_start_prune_win=0.0,
                     emit_prune_win=tuned.emit_prune_win,
                     phone_end_prune_win=tuned.phone_end_prune_win,
                     word_prune_win=tuned.word_prune_win,
@@ -218,7 +224,8 @@ def main():
         print(json.dumps(row), flush=True)
 
     print(json.dumps({"metric": "wsj_pruning_sweep",
-                      "center_scale": args.center_scale, "rows": rows}))
+                      "center_scale": args.center_scale,
+                      "mismatch": args.mismatch, "rows": rows}))
 
 
 if __name__ == "__main__":
