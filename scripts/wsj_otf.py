@@ -100,6 +100,10 @@ def main():
     ap.add_argument("--parity", type=int, default=2,
                     help="RefOtfDecoder parity on N held-out short utts")
     ap.add_argument("--no-bench", action="store_true")
+    ap.add_argument("--no-tune", action="store_true",
+                    help="use --K/--E as the exact budgets (certified "
+                         "elsewhere; the accuracy loop still counts "
+                         "overflow)")
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -166,11 +170,16 @@ def main():
         max_insts=args.K, expand_budget=args.E, final_budget=1024,
         otf_pushing=args.pushing,
     )
-    t0 = time.time()
-    tuned = autotune_budgets(art, scores, base, margin=1.4,
-                             g_network=g_net, verbose=True)
-    print(f"[autotune] K={tuned.max_insts} E={tuned.expand_budget} "
-          f"({time.time()-t0:.1f}s)", flush=True)
+    if args.no_tune:
+        tuned = base
+        print(f"[budgets] K={tuned.max_insts} E={tuned.expand_budget} "
+              f"(--no-tune)", flush=True)
+    else:
+        t0 = time.time()
+        tuned = autotune_budgets(art, scores, base, margin=1.4,
+                                 g_network=g_net, verbose=True)
+        print(f"[autotune] K={tuned.max_insts} E={tuned.expand_budget} "
+              f"({time.time()-t0:.1f}s)", flush=True)
 
     vocab = lexicon.vocab
     marker_labels = {vocab.sent_start_index + 1, vocab.sent_end_index + 1}
