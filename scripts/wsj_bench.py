@@ -331,8 +331,16 @@ def ensure_task(cache, n_words, n_bigrams, n_phones=45, n_emit=3, n_comps=8,
 
 
 def sample_utterances(cache, models, lexicon_files, n_utts, target_frames,
-                      seed, frames_per_state=3):
-    """Random-walk the bigram, synthesize features from the models."""
+                      seed, frames_per_state=3, free_text=False):
+    """Random-walk the bigram, synthesize features from the models.
+
+    `free_text=True` draws the word sequence UNIFORMLY instead (still
+    decodable: the synthetic ARPA has unigram backoff, so G accepts any
+    pair at a penalty). LM-likely transcripts make the LM an ally of the
+    truth — with them, even severely mismatched acoustics decode at
+    100 % (PERF.md R5.4); free text puts the LM in genuine tension with
+    the acoustics, which is where WER and the accuracy-vs-pruning
+    tradeoff actually live."""
     rng = np.random.default_rng(seed)
     bz = np.load(os.path.join(cache, "bigram.npz"))
     # lexicon: word -> phone ids
@@ -352,11 +360,21 @@ def sample_utterances(cache, models, lexicon_files, n_utts, target_frames,
     n_words_total = len(prons) - 2
     SB, SE = n_words_total, n_words_total + 1
 
+    def frames_of(w):
+        return (len(prons[f"w{w}"]) * (models.get_num_states(0) - 2)
+                * frames_per_state)
+
     def sample_sentence():
         # ONE sentence <s> w... </s>: the grammar has no sentence loop, so
         # an utterance must be a single LM sentence or the audio is not in
         # G's language at all (the decoder would garble the joins)
         words, w, frames_est = [], SB, 0
+        if free_text:
+            while frames_est < target_frames * 0.9:
+                w = int(rng.integers(n_words_total))
+                words.append(w)
+                frames_est += frames_of(w)
+            return words, frames_est
         while True:
             ids = bz[f"ids_{w}"]
             logp = bz[f"logp_{w}"]
@@ -366,10 +384,7 @@ def sample_utterances(cache, models, lexicon_files, n_utts, target_frames,
             if w == SE:
                 return words, frames_est
             words.append(w)
-            frames_est += (
-                len(prons[f"w{w}"]) * (models.get_num_states(0) - 2)
-                * frames_per_state
-            )
+            frames_est += frames_of(w)
 
     utts = []
     for _ in range(n_utts):

@@ -59,6 +59,9 @@ def main():
     ap.add_argument("--center-scale", type=float, default=1.2,
                     help="GMM center spread; lower = harder acoustics "
                          "(task models are built at 1.2)")
+    ap.add_argument("--free-text", action="store_true",
+                    help="uniform-random transcripts (LM in tension with "
+                         "the acoustics) instead of bigram walks")
     ap.add_argument("--mismatch", type=float, default=0.0,
                     help="decode-side GMM mean perturbation sigma "
                          "(train/test mismatch; features stay generated "
@@ -100,12 +103,14 @@ def main():
     lex_files = (os.path.join(cache, "phones.lst"),
                  os.path.join(cache, "lex.dict"))
     utts = sample_utterances(cache, models, lex_files, n_utts=args.batch,
-                             target_frames=args.frames, seed=args.seed)
+                             target_frames=args.frames, seed=args.seed,
+                             free_text=args.free_text)
     par_utts = []
     if args.parity:
         par_utts = sample_utterances(cache, models, lex_files,
                                      n_utts=args.parity, target_frames=150,
-                                     seed=args.seed + 1)
+                                     seed=args.seed + 1,
+                                     free_text=args.free_text)
     scorer = make_gmm_scorer(dec_models.flat_params())
     scores = [np.asarray(scorer(jnp.asarray(f))) for _, f in utts]
     par_scores = [np.asarray(scorer(jnp.asarray(f))) for _, f in par_utts]
@@ -225,7 +230,8 @@ def main():
 
     print(json.dumps({"metric": "wsj_pruning_sweep",
                       "center_scale": args.center_scale,
-                      "mismatch": args.mismatch, "rows": rows}))
+                      "mismatch": args.mismatch,
+                      "free_text": args.free_text, "rows": rows}))
 
 
 if __name__ == "__main__":
