@@ -439,6 +439,9 @@ def main():
                     help="merge_strategy: auto|dense|sort")
     ap.add_argument("--frames", type=int, default=1000)
     ap.add_argument("--cache", type=str, default=None)
+    ap.add_argument("--no-tune", action="store_true",
+                    help="use --K/--E as the exact budgets (certified "
+                         "elsewhere)")
     ap.add_argument("--lattice", action="store_true",
                     help="generate word lattices at the tuned point for "
                          "every eval utterance: record counts, host "
@@ -533,11 +536,17 @@ def main():
         return
 
     t0 = time.time()
-    # certify over the WHOLE batch: 2-sample certification left 1/8
-    # utterances overflowing on the first full run (PERF.md R4.3)
-    tuned = autotune_budgets(art, scores[: args.batch], base, margin=1.4, verbose=True)
-    print(f"[autotune] K={tuned.max_insts} E={tuned.expand_budget} "
-          f"({time.time()-t0:.1f}s)", flush=True)
+    if args.no_tune:
+        tuned = base
+        print(f"[budgets] K={tuned.max_insts} E={tuned.expand_budget} "
+              f"(--no-tune; overflow still counted downstream)", flush=True)
+    else:
+        # certify over the WHOLE batch: 2-sample certification left 1/8
+        # utterances overflowing on the first full run (PERF.md R4.3)
+        tuned = autotune_budgets(art, scores[: args.batch], base,
+                                 margin=1.4, verbose=True)
+        print(f"[autotune] K={tuned.max_insts} E={tuned.expand_budget} "
+              f"({time.time()-t0:.1f}s)", flush=True)
 
     # observability + accuracy over the batch. Output labels are
     # vocab-index+1 and the vocab is SORTED, so map ground-truth word ids
