@@ -592,8 +592,13 @@ def main():
                                                 shortest_path)
 
         B = args.batch
+        # emit_diagnostics=True keeps _traceback on the conformance-tested
+        # path whose reported score is the ABSOLUTE path total (the
+        # diagnostics-off fast path reports the normalized carry score,
+        # which cannot be compared against the raw cumulative lattice
+        # costs)
         lat_dec = TpuDecoder(art, dataclasses.replace(
-            tuned, gen_lattice=True, emit_diagnostics=False))
+            tuned, gen_lattice=True, emit_diagnostics=True))
         tot = dict(events=0, edges=0, states=0, arcs=0, dev_s=0.0,
                    host_s=0.0, covered=0, best_ok=0)
         for i, ((words, _), sc) in enumerate(zip(utts[:B], scores[:B])):
@@ -617,7 +622,8 @@ def main():
                 np.sum(np.asarray(ys["ev_arc"]) >= 0))
             n_edge = int(np.sum(np.asarray(ys["lat_valid"])))
             cost, labs = shortest_path(lat)
-            best_ok = labs == list(res.words) and abs(-cost - res.score) < 1e-2
+            words_ok = labs == list(res.words)
+            best_ok = words_ok and abs(-cost - res.score) < 1e-2
             ref_seq = ([vocab.sent_start_index + 1]
                        + [label_of[w] for w in words]
                        + [vocab.sent_end_index + 1])
@@ -627,7 +633,8 @@ def main():
                   f"-> {lat.num_states} states / {lat.num_arcs} arcs; "
                   f"device {t_dev:.1f}s, host assembly {t_host:.1f}s; "
                   f"best-path {'OK' if best_ok else 'MISMATCH'} "
-                  f"(cost {cost:.1f} vs 1-best {-res.score:.1f}); "
+                  f"(words {'ok' if words_ok else 'DIFF'}, cost {cost:.1f} "
+                  f"vs 1-best {-res.score:.1f}); "
                   f"transcript {'covered (cost %.1f)' % ccost if covered else 'NOT COVERED'}",
                   flush=True)
             tot["events"] += n_ev
