@@ -623,7 +623,14 @@ def main():
             n_edge = int(np.sum(np.asarray(ys["lat_valid"])))
             cost, labs = shortest_path(lat)
             words_ok = labs == list(res.words)
-            best_ok = words_ok and abs(-cost - res.score) < 1e-2
+            # lattice edge costs are ABSOLUTE cumulative (ac+lm); the
+            # comparable 1-best total is acoustic_score + lm_score, not
+            # the normalized res.score (same convention as
+            # tests/test_lattice.py). f32 cumulative sums over ~10^3
+            # frames at |score|~60/frame wobble in the last digits:
+            # tolerance scales with T.
+            abs_best = res.acoustic_score + res.lm_score
+            best_ok = words_ok and abs(-cost - abs_best) < 1e-4 * max(T, 1)
             ref_seq = ([vocab.sent_start_index + 1]
                        + [label_of[w] for w in words]
                        + [vocab.sent_end_index + 1])
@@ -634,7 +641,7 @@ def main():
                   f"device {t_dev:.1f}s, host assembly {t_host:.1f}s; "
                   f"best-path {'OK' if best_ok else 'MISMATCH'} "
                   f"(words {'ok' if words_ok else 'DIFF'}, cost {cost:.1f} "
-                  f"vs 1-best {-res.score:.1f}); "
+                  f"vs 1-best {-abs_best:.1f}); "
                   f"transcript {'covered (cost %.1f)' % ccost if covered else 'NOT COVERED'}",
                   flush=True)
             tot["events"] += n_ev
